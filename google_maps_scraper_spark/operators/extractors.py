@@ -1,0 +1,232 @@
+"""Vectorized Arrow/pandas UDFs wrapping the pure-Python parse core.
+
+All row-level work in the engine funnels through these five UDFs (the
+input_hint mandates pandas/Arrow vectorization, no per-row Python UDFs):
+
+  * ``serp_links_udf``   — SERP HTML → array of place hrefs
+    (≙ GmapJob.Process feed walk, gmaps/job.go:159-176);
+  * ``entry_extract_udf``— place HTML → Entry scalars + canonical JSON +
+    error channel (≙ PlaceJob.Process → EntryFromJSON,
+    gmaps/place.go:72-144, gmaps/entry.go:360-542; the Go panic-recover
+    wrapper at entry.go:361-367 corresponds to the try/except here);
+  * ``emails_udf``       — website HTML → ordered deduped emails
+    (≙ EmailExtractJob.Process, gmaps/emailjob.go:64-139);
+  * ``reviews_pages_udf``— array of review-RPC page bodies → extended
+    reviews JSON (≙ Entry.AddExtraReviews, gmaps/entry.go:317-328);
+  * ``serp_entries_udf`` — fast-mode payload → entries
+    (≙ ParseSearchResults, gmaps/multiple.go:11-81).
+
+Each UDF is a pure function of its inputs (the pinned ``now`` for review
+timestamp bounds arrives as a literal column), so results are reproducible
+across retries/speculative execution — a correctness requirement for
+exactly-once semantics at scale.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql import types as T
+
+from ..extract.canonical import entry_to_canonical_json, review_to_gostruct
+from ..extract.emails import extract_emails
+from ..extract.entry import (
+    entry_from_json,
+    extract_reviews_page,
+    is_website_valid_for_email,
+    validate_entry,
+)
+from ..extract.gojson import go_json_dumps
+from ..extract.place_page import extract_app_init_blob
+from ..extract.serp import extract_feed_links, parse_search_results
+from ..schemas import (
+    EMAIL_FINALIZE_SCHEMA,
+    EMAILS_EXTRACT_SCHEMA,
+    ENTRY_EXTRACT_SCHEMA,
+    SERP_LINKS_SCHEMA,
+)
+
+__all__ = [
+    "serp_links_udf",
+    "entry_extract_udf",
+    "emails_udf",
+    "finalize_email_entry_udf",
+    "reviews_pages_udf",
+    "serp_entries_json_udf",
+    "url_host_udf",
+]
+
+
+def _to_text(v: Any) -> str:
+    if v is None:
+        return ""
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).decode("utf-8", "replace")
+    return str(v)
+
+
+@pandas_udf(SERP_LINKS_SCHEMA)
+def serp_links_udf(html: pd.Series) -> pd.Series:
+    """SERP page body → hrefs of ``div[role=feed] div[jsaction]>a`` anchors."""
+    return html.map(lambda h: extract_feed_links(_to_text(h)) if h is not None else [])
+
+
+def _extract_one_entry(html: Any, seed_id: str, url: str, now_micros: int) -> dict:
+    out: dict[str, Any] = {k.name: None for k in ENTRY_EXTRACT_SCHEMA.fields}
+    out["valid"] = False
+    out["email_eligible"] = False
+    if html is None:
+        out["error"] = "fetch error: page not in corpus"
+        return out
+    blob = extract_app_init_blob(_to_text(html))
+    if blob is None:
+        # Stored payload may already be the raw blob (RPC-style captures).
+        text = _to_text(html).strip()
+        if text.startswith(")]}'"):
+            blob = text[4:].strip()
+        elif text.startswith("["):
+            blob = text
+        else:
+            out["error"] = "APP_INITIALIZATION_STATE data not found"
+            return out
+    try:
+        e = entry_from_json(blob, now_micros=now_micros)
+    except Exception as exc:  # ≙ EntryFromJSON error/panic-recover path
+        out["error"] = str(exc)
+        return out
+
+    e["input_id"] = seed_id or ""            # ≙ entry.ID = j.ParentID (place.go:105)
+    if not e["link"]:
+        e["link"] = url                       # ≙ place.go:107-109
+
+    out.update({
+        "input_id": e["input_id"],
+        "link": e["link"],
+        "cid": e["cid"],
+        "title": e["title"],
+        "category": e["category"],
+        "categories": e["categories"],
+        "address": e["address"],
+        "web_site": e["web_site"],
+        "phone": e["phone"],
+        "plus_code": e["plus_code"],
+        "review_count": e["review_count"],
+        "review_rating": float(e["review_rating"]),
+        "latitude": float(e["latitude"]),
+        "longitude": float(e["longtitude"]),
+        "status": e["status"],
+        "place_id": e["place_id"],
+        "data_id": e["data_id"],
+        "canonical_json": entry_to_canonical_json(e),
+        "entry_json": json.dumps(e),
+        "valid": validate_entry(e),
+        "email_eligible": is_website_valid_for_email(e["web_site"]),
+        "error": None,
+    })
+    return out
+
+
+@pandas_udf(ENTRY_EXTRACT_SCHEMA)
+def entry_extract_udf(
+    html: pd.Series, seed_id: pd.Series, url: pd.Series, now_micros: pd.Series
+) -> pd.DataFrame:
+    rows = [
+        _extract_one_entry(h, s, u, int(n))
+        for h, s, u, n in zip(html, seed_id, url, now_micros)
+    ]
+    return pd.DataFrame(rows, columns=[f.name for f in ENTRY_EXTRACT_SCHEMA.fields])
+
+
+@pandas_udf(EMAILS_EXTRACT_SCHEMA)
+def emails_udf(html: pd.Series) -> pd.Series:
+    """Website page → emails; fetch-miss (null html) → empty list, matching
+    EmailExtractJob's emit-entry-anyway-on-fetch-error (emailjob.go:80-82)."""
+    return html.map(lambda h: extract_emails(_to_text(h)) if h is not None else [])
+
+
+@pandas_udf(T.StringType())
+def reviews_pages_udf(pages: pd.Series, now_micros: pd.Series) -> pd.Series:
+    """Array of RPC page bodies → JSON array of extended reviews (Go-canonical
+    serialization, appended to user_reviews_extended)."""
+
+    def run(bodies, now) -> str:
+        reviews = []
+        for body in bodies or []:
+            if body is None:
+                continue
+            reviews.extend(extract_reviews_page(_to_text(body), now_micros=int(now)))
+        return go_json_dumps([review_to_gostruct(r) for r in reviews])
+
+    return pd.Series([run(b, n) for b, n in zip(pages, now_micros)])
+
+
+@pandas_udf(T.StringType())
+def serp_entries_json_udf(body: pd.Series) -> pd.Series:
+    """Fast-mode SERP payload → JSON array of entries (ParseSearchResults)."""
+
+    def run(raw) -> str:
+        if raw is None:
+            return "[]"
+        try:
+            entries = parse_search_results(_to_text(raw))
+        except ValueError:
+            return "[]"
+        return json.dumps([
+            {
+                "input_id": e["input_id"],
+                "title": e["title"],
+                "categories": e["categories"],
+                "web_site": e["web_site"],
+                "review_rating": e["review_rating"],
+                "review_count": e["review_count"],
+                "address": e["address"],
+                "latitude": e["latitude"],
+                "longitude": e["longtitude"],
+                "phone": e["phone"],
+                "status": e["status"],
+                "timezone": e["timezone"],
+                "data_id": e["data_id"],
+                "plus_code": e["plus_code"],
+            }
+            for e in entries
+        ])
+
+    return body.map(run)
+
+
+@pandas_udf(EMAIL_FINALIZE_SCHEMA)
+def finalize_email_entry_udf(entry_json: pd.Series, html: pd.Series) -> pd.DataFrame:
+    """Email hop (gmaps/emailjob.go:64-98): merge harvested emails into the
+    parked entry and re-serialize canonically.  A fetch miss (null html)
+    leaves the entry untouched — the job still emits it."""
+
+    def run(ej, h) -> dict:
+        e = json.loads(ej)
+        if h is not None:
+            emails = extract_emails(_to_text(h))
+            e["emails"] = emails if emails else None  # Go nil slice when none
+        return {
+            "emails": e.get("emails"),
+            "canonical_json": entry_to_canonical_json(e),
+            "valid": validate_entry(e),
+        }
+
+    rows = [run(ej, h) for ej, h in zip(entry_json, html)]
+    return pd.DataFrame(rows, columns=["emails", "canonical_json", "valid"])
+
+
+@pandas_udf(T.StringType())
+def url_host_udf(url: pd.Series) -> pd.Series:
+    """eTLD+1 of a URL for politeness bucketing (vectorized)."""
+    from ..extract.urls import etld1
+
+    return url.map(lambda u: etld1(u or ""))
+
+
+def now_micros_lit(now_micros: int):
+    """Literal column for the pinned clock (determinism, SURVEY §7 #2)."""
+    return F.lit(int(now_micros)).cast("long")

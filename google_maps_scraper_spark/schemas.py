@@ -1,0 +1,171 @@
+"""Spark schemas for the engine's tables.
+
+  * ``PAGES_SCHEMA``    — the input corpus, exactly the BASELINE.json
+    input_hint shape: (url, warc_ts, html:binary, text, lang);
+  * ``FRONTIER_SCHEMA`` — the crawl frontier (≙ the reference's job table,
+    scripts/migrations/0001_create_tables.up.sql + scrapemate.Job fields,
+    gmaps/job.go:65-73);
+  * ``SEEN_SCHEMA``     — the URL-seen set (≙ deduper/hashmap.go:11-42);
+  * ``RESULT_SCHEMA``   — extracted entries: frequently-queried scalars as
+    typed columns + the full Entry as canonical JSON (≙ the reference's
+    JSONB ``data`` column, scripts/migrations/0003_results_jsonb.up.sql) so
+    deep nesting never hits Arrow MapType limits and scans stay narrow.
+
+Job kinds and priorities mirror the reference: search (GmapJob, priority
+LOW=3, gmaps/job.go:56-59), place (PlaceJob, MEDIUM=2, gmaps/place.go:28-31),
+email (EmailExtractJob, HIGH=1, gmaps/emailjob.go:27-30); the frontier drains
+``ORDER BY priority ASC, created_at ASC`` (postgres/provider.go:159).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+__all__ = [
+    "PAGES_SCHEMA",
+    "FRONTIER_SCHEMA",
+    "SEEN_SCHEMA",
+    "RESULT_SCHEMA",
+    "PENDING_ENTRY_SCHEMA",
+    "EMAIL_FINALIZE_SCHEMA",
+    "SERP_LINKS_SCHEMA",
+    "ENTRY_EXTRACT_SCHEMA",
+    "EMAILS_EXTRACT_SCHEMA",
+    "PRIORITY_HIGH",
+    "PRIORITY_MEDIUM",
+    "PRIORITY_LOW",
+    "KIND_SEARCH",
+    "KIND_PLACE",
+    "KIND_EMAIL",
+    "STATUS_NEW",
+    "STATUS_QUEUED",
+    "STATUS_DONE",
+    "STATUS_FAILED",
+]
+
+PRIORITY_HIGH = 1   # email jobs, gmaps/emailjob.go:28
+PRIORITY_MEDIUM = 2  # place jobs, gmaps/place.go:29
+PRIORITY_LOW = 3    # search (SERP) jobs, gmaps/job.go:58
+
+KIND_SEARCH = "search"
+KIND_PLACE = "place"
+KIND_EMAIL = "email"
+
+STATUS_NEW = "new"
+STATUS_QUEUED = "queued"
+STATUS_DONE = "done"
+STATUS_FAILED = "failed"
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("warc_ts", T.TimestampType(), True),
+    T.StructField("html", T.BinaryType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+])
+
+FRONTIER_SCHEMA = T.StructType([
+    T.StructField("job_id", T.StringType(), False),
+    T.StructField("parent_id", T.StringType(), True),
+    T.StructField("seed_id", T.StringType(), True),      # propagates to Entry.input_id
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("url", T.StringType(), False),
+    T.StructField("url_hash", T.LongType(), False),
+    T.StructField("host", T.StringType(), True),          # eTLD+1
+    T.StructField("politeness_bucket", T.IntegerType(), True),
+    T.StructField("priority", T.IntegerType(), False),
+    # FIFO tie-break (≙ created_at): hierarchical zero-padded path, e.g.
+    # "000000001.000003" = 4th link of the 2nd seed.  Lexicographic order on
+    # this string equals the sequential enqueue order, and children can be
+    # stamped fully distributed (parent path + position) — no global
+    # row_number shuffle per round.
+    T.StructField("created_path", T.StringType(), False),
+    T.StructField("depth", T.IntegerType(), False),
+    T.StructField("max_depth", T.IntegerType(), False),
+    T.StructField("retries", T.IntegerType(), False),
+    T.StructField("max_retries", T.IntegerType(), False),
+    T.StructField("status", T.StringType(), False),
+    T.StructField("round_claimed", T.IntegerType(), True),
+    T.StructField("extract_email", T.BooleanType(), False),
+    T.StructField("lang", T.StringType(), True),
+])
+
+# Entry payload parked between the place hop and the email hop (the reference
+# suppresses the place result and re-emits it from the email job:
+# gmaps/place.go:124-138 UsageInResults=false).  Keyed by the place job id.
+PENDING_ENTRY_SCHEMA = T.StructType([
+    T.StructField("job_id", T.StringType(), False),
+    T.StructField("entry_json", T.StringType(), False),   # internal dict repr
+])
+
+SEEN_SCHEMA = T.StructType([
+    T.StructField("url_hash", T.LongType(), False),
+    T.StructField("url", T.StringType(), False),
+    T.StructField("admitting_parent", T.StringType(), True),
+    T.StructField("round_admitted", T.IntegerType(), False),
+])
+
+# Typed scalar projection + canonical JSON payload (full fidelity).
+RESULT_SCHEMA = T.StructType([
+    T.StructField("job_id", T.StringType(), False),
+    T.StructField("input_id", T.StringType(), True),
+    T.StructField("url", T.StringType(), True),
+    T.StructField("link", T.StringType(), True),
+    T.StructField("cid", T.StringType(), True),
+    T.StructField("title", T.StringType(), True),
+    T.StructField("category", T.StringType(), True),
+    T.StructField("categories", T.ArrayType(T.StringType()), True),
+    T.StructField("address", T.StringType(), True),
+    T.StructField("web_site", T.StringType(), True),
+    T.StructField("phone", T.StringType(), True),
+    T.StructField("plus_code", T.StringType(), True),
+    T.StructField("review_count", T.IntegerType(), True),
+    T.StructField("review_rating", T.DoubleType(), True),
+    T.StructField("latitude", T.DoubleType(), True),
+    T.StructField("longitude", T.DoubleType(), True),
+    T.StructField("status", T.StringType(), True),
+    T.StructField("place_id", T.StringType(), True),
+    T.StructField("data_id", T.StringType(), True),
+    T.StructField("emails", T.ArrayType(T.StringType()), True),
+    T.StructField("canonical_json", T.StringType(), True),
+    T.StructField("round_emitted", T.IntegerType(), True),
+])
+
+# UDF return schemas -----------------------------------------------------------
+
+SERP_LINKS_SCHEMA = T.ArrayType(T.StringType())
+
+# extract-entry UDF output: scalars + canonical JSON + error channel.
+ENTRY_EXTRACT_SCHEMA = T.StructType([
+    T.StructField("input_id", T.StringType(), True),
+    T.StructField("link", T.StringType(), True),
+    T.StructField("cid", T.StringType(), True),
+    T.StructField("title", T.StringType(), True),
+    T.StructField("category", T.StringType(), True),
+    T.StructField("categories", T.ArrayType(T.StringType()), True),
+    T.StructField("address", T.StringType(), True),
+    T.StructField("web_site", T.StringType(), True),
+    T.StructField("phone", T.StringType(), True),
+    T.StructField("plus_code", T.StringType(), True),
+    T.StructField("review_count", T.IntegerType(), True),
+    T.StructField("review_rating", T.DoubleType(), True),
+    T.StructField("latitude", T.DoubleType(), True),
+    T.StructField("longitude", T.DoubleType(), True),
+    T.StructField("status", T.StringType(), True),
+    T.StructField("place_id", T.StringType(), True),
+    T.StructField("data_id", T.StringType(), True),
+    T.StructField("canonical_json", T.StringType(), True),
+    T.StructField("entry_json", T.StringType(), True),    # internal repr for the email hop
+    T.StructField("valid", T.BooleanType(), True),
+    T.StructField("email_eligible", T.BooleanType(), True),
+    T.StructField("error", T.StringType(), True),
+])
+
+# email-hop finalization: merged emails + re-serialized canonical JSON
+EMAIL_FINALIZE_SCHEMA = T.StructType([
+    T.StructField("emails", T.ArrayType(T.StringType()), True),
+    T.StructField("canonical_json", T.StringType(), True),
+    T.StructField("valid", T.BooleanType(), True),
+])
+
+EMAILS_EXTRACT_SCHEMA = T.ArrayType(T.StringType())

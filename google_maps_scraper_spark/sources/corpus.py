@@ -1,0 +1,326 @@
+"""Deterministic synthetic page corpus (FIXTURES.md §1 payload kinds).
+
+Generates a Common-Crawl-style pages table — (url, warc_ts, html, text, lang)
+— in which the two-hop crawl graph from a seed list is fully resolvable:
+
+  * SERP pages whose ``div[role=feed]`` anchors point at place pages
+    (href shape per gmaps/job.go:159-176), with cross-SERP duplicate hrefs to
+    exercise the URL-seen set;
+  * place pages embedding ``window.APP_INITIALIZATION_STATE`` with the
+    ``)]}'``-prefixed entry blob at ``[3][0][6]`` (gmaps/place.go:297-319),
+    built positionally to the index map consumed by EntryFromJSON
+    (gmaps/entry.go:360-542);
+  * business-website pages with mailto anchors / plaintext emails
+    (gmaps/emailjob.go:104-139), including invalid + duplicate addresses and
+    social-network sites that the pre-fetch filter must exclude;
+  * malformed place pages (panic-shaped) for crash-safety rows.
+
+Everything derives from ``seed`` (default 42) via ``random.Random`` — no
+wall-clock, no uuids (job ids are content-derived hashes).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import random
+from dataclasses import dataclass, field
+from typing import Any
+
+from ..extract.urls import build_search_url
+
+__all__ = ["SyntheticCorpus", "generate_corpus", "set_path"]
+
+_EPOCH = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def _ensure_len(arr: list, n: int) -> None:
+    while len(arr) < n:
+        arr.append(None)
+
+
+def set_path(root: list, path: list[int], value: Any) -> Any:
+    """Nested-array builder (≙ setNested/ensureLen in
+    gmaps/entry_internal_test.go:125-172)."""
+    cur = root
+    for i, idx in enumerate(path):
+        _ensure_len(cur, idx + 1)
+        if i == len(path) - 1:
+            cur[idx] = value
+        else:
+            if not isinstance(cur[idx], list):
+                cur[idx] = []
+            cur = cur[idx]
+    return root
+
+
+@dataclass
+class SyntheticCorpus:
+    pages: list[dict] = field(default_factory=list)          # PAGES_SCHEMA rows
+    seeds: list[dict] = field(default_factory=list)          # (line_no, query, custom_id, ...)
+    serp_to_places: dict[str, list[str]] = field(default_factory=dict)
+    place_meta: dict[str, dict] = field(default_factory=dict)  # url → ground truth
+    robots: list[dict] = field(default_factory=list)
+
+
+def _place_blob(meta: dict) -> list:
+    """Build the positional entry payload for one place."""
+    jd: list = []
+    set_path(jd, [6], [])
+    d = jd[6]
+    set_path(d, [11], meta["title"])
+    set_path(d, [13], list(meta["categories"]))
+    set_path(d, [18], f"{meta['title']},{meta['address']}")
+    set_path(d, [27], meta["link"])
+    set_path(d, [4, 7], meta["rating"])
+    set_path(d, [4, 8], meta["review_count"])
+    set_path(d, [4, 2], meta["price_range"])
+    set_path(d, [4, 3, 0], f"https://search.google.com/local/reviews?placeid={meta['place_id']}")
+    set_path(d, [9, 2], meta["lat"])
+    set_path(d, [9, 3], meta["lon"])
+    set_path(d, [7, 0], meta["website_raw"])
+    set_path(d, [178, 0, 0], meta["phone"])
+    set_path(d, [183, 2, 2, 0], meta["plus_code"])
+    set_path(d, [183, 1, 0], "")
+    set_path(d, [183, 1, 1], meta["street"])
+    set_path(d, [183, 1, 3], meta["city"])
+    set_path(d, [183, 1, 4], meta["postal_code"])
+    set_path(d, [183, 1, 5], "")
+    set_path(d, [183, 1, 6], meta["country"])
+    set_path(d, [30], meta["timezone"])
+    set_path(d, [10], meta["data_id"])
+    set_path(d, [78], meta["place_id"])
+    set_path(d, [34, 4, 4], meta["status"])
+    set_path(d, [32, 1, 1], meta["description"])
+    # old-format hours: items at d[34][1], each [day, [slots]]
+    hours_items = [[day, [slot]] for day, slot in meta["hours"]]
+    set_path(d, [34, 1], hours_items)
+    # popular times: d[84][0] items [day_no, [[hour, traffic],...]]
+    pt_items = [[day_no, [[h, t] for h, t in hour_traffic]]
+                for day_no, hour_traffic in meta["popular_times"]]
+    set_path(d, [84, 0], pt_items)
+    # reviews per rating d[175][3][0..4]
+    for i, c in enumerate(meta["reviews_per_rating"]):
+        set_path(d, [175, 3, i], c)
+    # inline reviews at d[175][9][0][0]
+    reviews = []
+    for r in meta["reviews"]:
+        el: list = []
+        set_path(el, [0], r["review_id"])
+        set_path(el, [1, 2], r["posted_micros"])
+        set_path(el, [1, 3], r["posted_micros"])
+        set_path(el, [1, 4, 2, 0], r["author_url"])
+        set_path(el, [1, 4, 5, 0], r["author"])
+        set_path(el, [1, 4, 5, 1], r["profile_pic"])
+        set_path(el, [1, 6], r["when"])
+        set_path(el, [1, 13, 0], "Google")
+        set_path(el, [1, 13, 4], 5)
+        set_path(el, [2, 0, 0], r["rating"])
+        set_path(el, [2, 14, 0], "en")
+        set_path(el, [2, 15, 0, 0], r["text"])
+        reviews.append([el])
+    set_path(d, [175, 9, 0, 0], reviews)
+    # cid at jd[25][3][0][13][0][0][1]
+    set_path(jd, [25, 3, 0, 13, 0, 0, 1], meta["cid"])
+    return jd
+
+
+def _place_html(meta: dict) -> str:
+    from ..extract.gojson import go_json_dumps  # exact, HTML-safe-escaped JSON
+
+    blob = ")]}'" + go_json_dumps(_place_blob(meta))
+    state = [None, None, None, [[None, None, None, None, None, None, blob]]]
+    return (
+        "<!DOCTYPE html><html><head><title>"
+        + meta["title"]
+        + "</title></head><body><script>window.APP_INITIALIZATION_STATE="
+        + go_json_dumps(state)
+        + ";window.APP_FLAGS=[];</script></body></html>"
+    )
+
+
+def _serp_html(place_urls: list[str]) -> str:
+    anchors = "".join(
+        f'<div jsaction="pane.x{i}"><a href="{u}"><span>place</span></a></div>'
+        for i, u in enumerate(place_urls)
+    )
+    return (
+        '<!DOCTYPE html><html><body><div role="main">'
+        f'<div role="feed">{anchors}</div></div></body></html>'
+    )
+
+
+def _website_html(emails: list[str], plaintext: list[str]) -> str:
+    anchors = "".join(f'<a href="mailto:{e}">contact</a>' for e in emails)
+    body = " ".join(plaintext)
+    return f"<!DOCTYPE html><html><body>{anchors}<p>{body}</p></body></html>"
+
+
+_CITIES = [
+    ("Athens", "GR", "Europe/Athens", 37.9838, 23.7275),
+    ("Limassol", "CY", "Asia/Nicosia", 34.7071, 33.0226),
+    ("Madrid", "ES", "Europe/Madrid", 40.4168, -3.7038),
+    ("Berlin", "DE", "Europe/Berlin", 52.52, 13.405),
+    ("Lisbon", "PT", "Europe/Lisbon", 38.7223, -9.1393),
+]
+_CATEGORIES = ["Restaurant", "Cafe", "Bar", "Bakery", "Hotel"]
+_DAYS = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday"]
+# A deliberately small host pool with one dominant host → realistic skew.
+_HOST_POOL = [
+    "bigchain.example.com", "tavern-athens.gr", "cafe-limassol.com.cy",
+    "madrid-eats.es", "berlin-bites.de", "lisbon-food.pt", "shop.example.org",
+]
+
+
+def generate_corpus(
+    n_seeds: int = 3,
+    places_per_serp: int = 10,
+    dup_fraction: float = 0.3,
+    email_fraction: float = 0.6,
+    malformed_fraction: float = 0.05,
+    skew_host_fraction: float = 0.5,
+    seed: int = 42,
+) -> SyntheticCorpus:
+    """Build a corpus where each seed query resolves to one SERP page whose
+    feed links to ``places_per_serp`` place pages; ``dup_fraction`` of links
+    (after the first SERP) duplicate earlier places; ``email_fraction`` of
+    places have crawlable websites; ``skew_host_fraction`` of websites live
+    on one dominant eTLD+1 (politeness-skew exercise)."""
+    rng = random.Random(seed)
+    c = SyntheticCorpus()
+    ts = _EPOCH
+    all_place_urls: list[str] = []
+
+    def add_page(url: str, html: str, text: str = "", lang: str = "en") -> None:
+        nonlocal ts
+        ts += dt.timedelta(seconds=1)
+        c.pages.append({"url": url, "warc_ts": ts, "html": html.encode(), "text": text, "lang": lang})
+
+    for s in range(n_seeds):
+        city, country, tz, clat, clon = _CITIES[s % len(_CITIES)]
+        cat = _CATEGORIES[s % len(_CATEGORIES)]
+        query = f"{cat.lower()} in {city.lower()}"
+        custom_id = f"seed-{s:03d}" if s % 2 == 0 else ""
+        c.seeds.append({
+            "line_no": s,
+            "query": query + (f" #!#{custom_id}" if custom_id else ""),
+            "custom_id": custom_id,
+        })
+        serp_url = build_search_url(query)
+
+        place_urls: list[str] = []
+        n_dups = int(places_per_serp * dup_fraction) if s > 0 and all_place_urls else 0
+        for _ in range(n_dups):
+            place_urls.append(rng.choice(all_place_urls))
+        for p in range(places_per_serp - n_dups):
+            pid = f"{s:03d}-{p:03d}"
+            h1 = hashlib.sha256(f"hex1-{seed}-{pid}".encode()).hexdigest()[:16]
+            h2 = hashlib.sha256(f"hex2-{seed}-{pid}".encode()).hexdigest()[:16]
+            name = f"{cat} {city} {pid}"
+            url = (
+                f"https://www.google.com/maps/place/{name.replace(' ', '+')}"
+                f"/data=!4m2!3m1!1s0x{h1}:0x{h2}!10m1!1e1"
+            )
+            malformed = rng.random() < malformed_fraction
+            has_site = rng.random() < email_fraction
+            social = has_site and rng.random() < 0.15
+            if social:
+                website = f"https://facebook.com/{pid}"
+            elif has_site:
+                host = (
+                    _HOST_POOL[0]
+                    if rng.random() < skew_host_fraction
+                    else rng.choice(_HOST_POOL[1:])
+                )
+                website = f"https://{host}/biz/{pid}"
+            else:
+                website = ""
+            n_reviews = rng.randint(0, 3)
+            meta = {
+                "title": name,
+                "categories": [cat, "Food"],
+                "address": f" {10 + p} Main St, {city} {1000 + p}",
+                "link": url,
+                "rating": round(rng.uniform(3.0, 5.0), 1),
+                "review_count": rng.randint(5, 900),
+                "price_range": rng.choice(["€", "€€", "€€€"]),
+                "lat": round(clat + rng.uniform(-0.05, 0.05), 7),
+                "lon": round(clon + rng.uniform(-0.05, 0.05), 7),
+                "website_raw": website,
+                "phone": f"+30 21{rng.randint(10000000, 99999999)}",
+                "plus_code": f"{pid} {city}",
+                "street": f"{10 + p} Main St",
+                "city": city,
+                "postal_code": str(1000 + p),
+                "country": country,
+                "timezone": tz,
+                "data_id": f"0x{h1}:0x{h2}",
+                "place_id": f"ChIJ{h1}{h2}"[:27],
+                "status": rng.choice(["Open", "Closed", "Open ⋅ Closes 10 pm"]),
+                "description": f"A fine {cat.lower()} in {city}.",
+                "hours": [(d, "9 am–10 pm") for d in _DAYS],
+                "popular_times": [
+                    (d + 1, [(h, rng.randint(0, 100)) for h in range(8, 23)])
+                    for d in range(7)
+                ],
+                "reviews_per_rating": [rng.randint(0, 50) for _ in range(5)],
+                "reviews": [
+                    {
+                        "review_id": f"rev-{pid}-{r}",
+                        "posted_micros": 1700000000000000 + rng.randint(0, 10**12),
+                        "author_url": f"https://www.google.com/maps/contrib/1{rng.randint(10**19, 10**20 - 1)}",
+                        "author": f"Reviewer {pid}-{r}",
+                        "profile_pic": f"https://lh3.example.com/p/{pid}-{r}=w36",
+                        "when": f"{r + 1} months ago",
+                        "rating": rng.randint(1, 5),
+                        "text": f"Review {r} of {name}. Nice {cat.lower()}!",
+                    }
+                    for r in range(n_reviews)
+                ],
+                "cid": str(int(h2, 16)),
+                "malformed": malformed,
+            }
+            c.place_meta[url] = meta
+            if malformed:
+                # panic-shaped: APP_INIT present but blob truncated/non-array
+                add_page(url, "<html><script>window.APP_INITIALIZATION_STATE="
+                              "[null,null,null,[[null,null,null,null,null,null,\")]}'{broken\"]]];"
+                              "</script></html>")
+            else:
+                add_page(url, _place_html(meta))
+            # website page (only for non-social, real sites)
+            if website and not social:
+                e1 = f"info@{website.split('/')[2]}"
+                e2 = f"sales-{pid}@{website.split('/')[2]}"
+                mailtos = [e1, e1, "not-an-email"] if rng.random() < 0.5 else []
+                plaintext = [f"Contact: {e1}", f"or {e2}", "bad@@x"]
+                meta["expected_emails"] = (
+                    [e1] if mailtos else [e1, e2]
+                )
+                add_page(website, _website_html(mailtos, plaintext),
+                         text=" ".join(plaintext))
+            elif social:
+                meta["expected_emails"] = None  # filtered pre-fetch
+            place_urls.append(url)
+            all_place_urls.append(url)
+
+        rng.shuffle(place_urls)
+        c.serp_to_places[serp_url] = place_urls
+        add_page(serp_url, _serp_html(place_urls))
+
+    # robots deny-list: block one host's /private prefix (engine-new feature)
+    c.robots.append({"host": _HOST_POOL[0], "path_prefix": "/private", "allowed": False})
+    return c
+
+
+def corpus_to_spark(spark, corpus: SyntheticCorpus):
+    """Materialize the pages table as a DataFrame (PAGES_SCHEMA)."""
+    from ..schemas import PAGES_SCHEMA
+
+    return spark.createDataFrame(
+        [
+            (p["url"], p["warc_ts"].replace(tzinfo=None), p["html"], p["text"], p["lang"])
+            for p in corpus.pages
+        ],
+        PAGES_SCHEMA,
+    )
