@@ -1,0 +1,559 @@
+"""Operator catalog for the driver's correctness gate.
+
+Each entry pairs a Spark DataFrame implementation with an ANSI-SQL oracle
+(DuckDB) over the driver's testdata tables.  The catalog re-expresses every
+operator family of SURVEY.md §2 on those tables — window-rank round claim,
+politeness budgets, anti-join dedup, first-wins admission, set union,
+completion counters, cross-join grid seeding, haversine filtering, needle
+filters, regex place-id extraction — plus the training-data-pipeline
+operators (exact/minhash/simhash dedup, token/quality/lang/fingerprint text
+analysis, embedding similarity, multimodal binary plumbing).
+
+Column names are aliased identically in both implementations (the driver's
+compare sorts columns by name before hashing values).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = ["QUERIES", "ORACLES", "load"]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# =============================================================================
+# Crawl-engine operator analogs (SURVEY §2.1/2.2/2.3/2.5/2.6)
+# =============================================================================
+
+@_q(
+    "frontier_claim_topk",
+    """
+    SELECT event_type, event_id, rk FROM (
+      SELECT event_type, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, ts ASC, event_id ASC) AS rk
+      FROM events
+    ) WHERE rk <= 5
+    """,
+)
+def frontier_claim_topk(spark, sf):
+    """Window-rank round claim (≙ postgres/provider.go:152-165: ORDER BY
+    priority, created_at LIMIT n per claim)."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("event_type", "event_id", "rk")
+    )
+
+
+@_q(
+    "politeness_budget_rank",
+    """
+    SELECT bucket, event_id FROM (
+      SELECT user_id % 16 AS bucket, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id % 16
+                                ORDER BY ts ASC, event_id ASC) AS rk
+      FROM events
+    ) WHERE rk <= 3
+    """,
+)
+def politeness_budget_rank(spark, sf):
+    """Per-bucket budget claim (salted politeness rank; north_rule)."""
+    ev = load(spark, sf, "events").withColumn(
+        "bucket", (F.col("user_id") % 16).cast("bigint")
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("bucket", "event_id")
+    )
+
+
+@_q(
+    "dedup_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def dedup_anti_join(spark, sf):
+    """URL-seen check as left-anti join (≙ deduper/hashmap.go:16-35)."""
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    return cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@_q(
+    "first_wins_admission",
+    """
+    SELECT user_id, event_id AS first_event_id FROM (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def first_wins_admission(spark, sf):
+    """First-occurrence-wins dedup ordering (≙ sequential AddIfNotExists
+    during DOM iteration, gmaps/job.go:159-176)."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("first_event_id"))
+    )
+
+
+@_q(
+    "seen_union_distinct",
+    """
+    SELECT COUNT(*) AS n_keys FROM (
+      SELECT o_custkey AS k FROM orders
+      UNION
+      SELECT c_custkey AS k FROM customer
+    )
+    """,
+)
+def seen_union_distinct(spark, sf):
+    """Seen-set union across rounds (≙ union + dropDuplicates)."""
+    orders = load(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    cust = load(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    return orders.union(cust).distinct().agg(F.count("*").alias("n_keys"))
+
+
+@_q(
+    "completion_counters",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_jobs,
+           ROUND(SUM(o_totalprice), 2) AS total_value
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def completion_counters(spark, sf):
+    """Exiter counters as status aggregates (≙ exiter/exiter.go:49-93)."""
+    return (
+        load(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_jobs"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+    )
+
+
+@_q(
+    "priority_queue_drain",
+    """
+    SELECT o_orderpriority, o_orderkey, rk FROM (
+      SELECT o_orderpriority, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_orderdate ASC, o_orderkey ASC) AS rk
+      FROM orders
+    ) WHERE rk <= 10
+    """,
+)
+def priority_queue_drain(spark, sf):
+    """Priority + FIFO drain order (≙ ORDER BY priority ASC, created_at ASC)."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        load(spark, sf, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("o_orderpriority", "o_orderkey", "rk")
+    )
+
+
+@_q(
+    "crossjoin_grid",
+    """
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def crossjoin_grid(spark, sf):
+    """Grid seeding cross product (≙ CreateGridSeedJobs queries×cells,
+    runner/jobs.go:173-211)."""
+    return load(spark, sf, "region").crossJoin(load(spark, sf, "nation")).select(
+        "r_name", "n_name"
+    )
+
+
+@_q(
+    "haversine_filter",
+    """
+    SELECT c_custkey, ROUND(dist_m) AS dist_m_r FROM (
+      SELECT c_custkey,
+             2 * 6371000.0 * ASIN(SQRT(
+               POW(SIN((RADIANS(((c_custkey % 120) - 60) * 0.7)
+                        - RADIANS(10.0)) / 2), 2)
+               + COS(RADIANS(10.0))
+                 * COS(RADIANS(((c_custkey % 120) - 60) * 0.7))
+                 * POW(SIN((RADIANS((((c_custkey * 7) % 300) - 150) * 0.9)
+                            - RADIANS(20.0)) / 2), 2)
+             )) AS dist_m
+      FROM customer
+    ) WHERE dist_m <= 3000000.0
+    """,
+)
+def haversine_filter(spark, sf):
+    """Geo radius filter (≙ haversine, gmaps/entry.go:176-201, R=6371e3) over
+    synthesized deterministic coordinates."""
+    c = load(spark, sf, "customer")
+    lat = ((F.col("c_custkey") % 120) - 60) * 0.7
+    lon = (((F.col("c_custkey") * 7) % 300) - 150) * 0.9
+    dlat = (F.radians(lat) - F.radians(F.lit(10.0))) / 2
+    dlon = (F.radians(lon) - F.radians(F.lit(20.0))) / 2
+    a = F.pow(F.sin(dlat), 2) + (
+        F.cos(F.radians(F.lit(10.0))) * F.cos(F.radians(lat)) * F.pow(F.sin(dlon), 2)
+    )
+    dist = F.lit(2 * 6371000.0) * F.asin(F.sqrt(a))
+    return (
+        c.withColumn("dist_m", dist)
+        .filter(F.col("dist_m") <= 3000000.0)
+        .select("c_custkey", F.round("dist_m").alias("dist_m_r"))
+    )
+
+
+@_q(
+    "website_email_gate",
+    """
+    SELECT doc_id, website FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN ''
+                  WHEN doc_id % 7 = 1 THEN 'https://facebook.com/p' || doc_id
+                  WHEN doc_id % 7 = 2 THEN 'https://instragram.example/p' || doc_id
+                  WHEN doc_id % 7 = 3 THEN 'https://twitter.com/p' || doc_id
+                  ELSE 'https://' || source || '.example.com/p' || doc_id END AS website
+      FROM documents
+    ) WHERE website <> ''
+      AND website NOT LIKE '%facebook%'
+      AND website NOT LIKE '%instragram%'
+      AND website NOT LIKE '%twitter%'
+    """,
+)
+def website_email_gate(spark, sf):
+    """Email-site validity filter with the reference's exact needles —
+    including the 'instragram' misspelling (gmaps/entry.go:203-221)."""
+    d = load(spark, sf, "documents")
+    website = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(""))
+        .when(F.col("doc_id") % 7 == 1, F.concat(F.lit("https://facebook.com/p"), F.col("doc_id")))
+        .when(F.col("doc_id") % 7 == 2, F.concat(F.lit("https://instragram.example/p"), F.col("doc_id")))
+        .when(F.col("doc_id") % 7 == 3, F.concat(F.lit("https://twitter.com/p"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/p"), F.col("doc_id")))
+    )
+    d = d.withColumn("website", website)
+    return d.filter(
+        (F.col("website") != "")
+        & ~F.col("website").contains("facebook")
+        & ~F.col("website").contains("instragram")
+        & ~F.col("website").contains("twitter")
+    ).select("doc_id", "website")
+
+
+@_q(
+    "place_id_regex_extract",
+    """
+    SELECT doc_id, regexp_extract(u, '!1s([^!]+)', 1) AS place_id FROM (
+      SELECT doc_id,
+             'https://www.google.com/maps/place/x/data=!4m2!1s0x' || md5(CAST(doc_id AS VARCHAR))
+             || '!8m2' AS u
+      FROM documents
+    )
+    """,
+)
+def place_id_regex_extract(spark, sf):
+    """Regex place-id cascade, first pattern (≙ gmaps/reviews.go:199-233)."""
+    d = load(spark, sf, "documents")
+    u = F.concat(
+        F.lit("https://www.google.com/maps/place/x/data=!4m2!1s0x"),
+        F.md5(F.col("doc_id").cast("string")),
+        F.lit("!8m2"),
+    )
+    return d.select(
+        "doc_id", F.regexp_extract(u, r"!1s([^!]+)", 1).alias("place_id")
+    )
+
+
+# =============================================================================
+# Relational engine coverage (joins/aggregations at TPC-H shapes)
+# =============================================================================
+
+@_q(
+    "tpch_q1_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing(spark, sf):
+    """Partial-aggregatable wide scan (map-side combine; classic Q1 shape)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "broadcast_dim_rollup",
+    """
+    SELECT r_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def broadcast_dim_rollup(spark, sf):
+    """Small-dimension broadcast join chain (dims explicitly broadcast)."""
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@_q(
+    "tpch_q3_shipping",
+    """
+    SELECT o_orderkey, ROUND(revenue, 2) AS revenue_r FROM (
+      SELECT l_orderkey AS o_orderkey,
+             SUM(l_extendedprice * (1 - l_discount)) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY l_orderkey
+    ) ORDER BY revenue_r DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def tpch_q3_shipping(spark, sf):
+    """Fact-fact join + top-k (shuffle join with AQE)."""
+    c = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("o_orderkey", F.round("revenue", 2).alias("revenue_r"))
+        .orderBy(F.col("revenue_r").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# =============================================================================
+# Training-data pipeline: text analysis & dedup over `documents`
+# =============================================================================
+
+@_q(
+    "docs_exact_dedup",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def docs_exact_dedup(spark, sf):
+    """Exact dedup: hash-groupBy, keep min doc_id per content hash."""
+    d = load(spark, sf, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+@_q(
+    "docs_token_count",
+    """
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+    FROM documents
+    """,
+)
+def docs_token_count(spark, sf):
+    """Whitespace token counting (training-data budget accounting)."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+@_q(
+    "docs_quality_score",
+    """
+    SELECT doc_id, n_chars,
+           len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b')) AS stopword_hits,
+           len(regexp_extract_all(text, '[.!?,;]')) AS punct_hits,
+           CASE WHEN n_chars < 200 THEN 'short'
+                WHEN n_chars < 400 THEN 'medium'
+                ELSE 'long' END AS length_bucket
+    FROM documents
+    """,
+)
+def docs_quality_score(spark, sf):
+    """Quality heuristics: stopword density, punctuation, length buckets."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"\b(the|a|and|of|to|in)\b"), F.lit(0)))
+        .cast("long")
+        .alias("stopword_hits"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?,;]"), F.lit(0)))
+        .cast("long")
+        .alias("punct_hits"),
+        F.when(F.col("n_chars") < 200, "short")
+        .when(F.col("n_chars") < 400, "medium")
+        .otherwise("long")
+        .alias("length_bucket"),
+    )
+
+
+@_q(
+    "docs_lang_id",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN len(regexp_extract_all(lower(text), '\\b(the|and|of|is)\\b')) >= 3
+                THEN 'en' ELSE lang END AS lang_pred
+    FROM documents
+    """,
+)
+def docs_lang_id(spark, sf):
+    """N-gram-heuristic language ID (English function-word density, falling
+    back to the declared lang)."""
+    d = load(spark, sf, "documents")
+    en_hits = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(r"\b(the|and|of|is)\b"), F.lit(0))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(en_hits >= 3, "en").otherwise(F.col("lang")).alias("lang_pred"),
+    )
+
+
+@_q(
+    "docs_fingerprint",
+    """
+    SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', '', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def docs_fingerprint(spark, sf):
+    """Whitespace-insensitive content fingerprint (normalize → hash)."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower("text"), r"\s+", "")).alias("fingerprint"),
+    )
+
+
+@_q(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS byte_len, sha256(text) AS payload_sha
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark, sf):
+    """Opaque-binary column plumbing: typed metadata over a payload column
+    (the pattern used for image/audio blobs; decode stays a stub)."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length(F.col("text").cast("binary")).cast("long").alias("byte_len"),
+        F.sha2(F.col("text"), 256).alias("payload_sha"),
+    )
+
+
+@_q(
+    "events_sessionize",
+    """
+    SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions FROM (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      )
+    ) GROUP BY user_id
+    """,
+)
+def events_sessionize(spark, sf):
+    """Stateful sessionization (30-min inactivity gap) as window dataflow —
+    the batch equivalent of the streaming state operator."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap = micros - F.lag(micros).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1000000), 1).otherwise(0)
+    sess = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("session_id", sess)
+        .groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n_sessions"))
+    )

@@ -1,0 +1,112 @@
+"""Local simulation of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB at sf=0.01, compare row count,
+column names, and an order-insensitive value hash (columns sorted by name,
+values stringified with float rounding)."""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def table_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main():
+    from google_maps_scraper_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8, app_name="oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    only = sys.argv[1:] or None
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, SF)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as exc:
+            print(f"FAIL  {name}: spark error {exc}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(srows)} rows, cols={scols} (no oracle)")
+            continue
+        try:
+            ddf = con.execute(oracles[name])
+            dcols = [d[0] for d in ddf.description]
+            drows = ddf.fetchall()
+        except Exception as exc:
+            print(f"FAIL  {name}: duckdb error {exc}")
+            failures.append(name)
+            continue
+        ok_count = len(srows) == len(drows)
+        ok_cols = sorted(scols) == sorted(dcols)
+        sh, dh = table_hash(srows, scols), table_hash(drows, dcols)
+        ok_hash = sh == dh
+        status = "OK  " if (ok_count and ok_cols and ok_hash) else "FAIL"
+        print(
+            f"{status}  {name}: rows {len(srows)}/{len(drows)}"
+            f" cols={'=' if ok_cols else f'{scols} vs {dcols}'}"
+            f" hash={'=' if ok_hash else f'{sh} vs {dh}'}"
+        )
+        if status == "FAIL":
+            failures.append(name)
+            if not ok_hash and ok_count and ok_cols:
+                s_sorted = sorted(srows)
+                d_sorted = sorted(drows)
+                for a, b in zip(s_sorted[:200], d_sorted[:200]):
+                    if tuple(map(norm_cell, a)) != tuple(map(norm_cell, b)):
+                        print(f"      first diff:\n      spark  {a}\n      duckdb {b}")
+                        break
+    print("\n" + ("ALL OK" if not failures else f"FAILURES: {failures}"))
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
