@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the operator catalog (``__spark_entry__.queries()``) against
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` plus the crawl-engine end-to-end pipeline on a
+deterministic synthetic page corpus, and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys: ``pages_extracted_per_sec`` and ``frontier_urls_scheduled_per_sec``
+(the BASELINE.json headline metrics), and ``cpus``.
+
+Each query is forced with a ``noop``-format write so the full plan executes
+without driver-side collection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_crawl(spark, timings: dict[str, float]) -> dict[str, float]:
+    """End-to-end crawl rounds on a synthetic corpus: seeds → SERP → place →
+    email, with dedup, politeness budgets and per-round checkpointing."""
+    from google_maps_scraper_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from google_maps_scraper_spark.sources.corpus import (
+        corpus_to_spark,
+        generate_corpus,
+    )
+
+    corpus = generate_corpus(n_seeds=24, places_per_serp=25)
+    pages = corpus_to_spark(spark, corpus).localCheckpoint(eager=True)
+    n_pages = pages.count()  # materialize before the clock starts
+
+    with tempfile.TemporaryDirectory(prefix="bench-crawl-") as wd:
+        t0 = time.perf_counter()
+        eng = CrawlEngine(
+            spark, pages, wd, CrawlConfig(extract_email=True, max_rounds=16)
+        )
+        eng.seed_from_queries(
+            [(s["query"].split(" #!#")[0], s["custom_id"]) for s in corpus.seeds]
+        )
+        counters = eng.run()
+        elapsed = time.perf_counter() - t0
+
+    extracted = counters.get("results", 0)
+    scheduled = sum(
+        v for k, v in counters.items()
+        if isinstance(v, int) and k.endswith(("_done", "_failed", "_new"))
+    )
+    timings["crawl_e2e"] = round(elapsed, 3)
+    return {
+        "pages_extracted_per_sec": round(extracted / elapsed, 2),
+        "frontier_urls_scheduled_per_sec": round(scheduled / elapsed, 2),
+        "crawl_pages_in_corpus": n_pages,
+        "crawl_results": extracted,
+        "crawl_rounds": counters.get("round", 0),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = None
+
+    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+    os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
+
+    from google_maps_scraper_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="gms-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    extras = bench_crawl(spark, timings)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "catalog+crawl_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        **extras,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,7 @@ __all__ = [
     "entry_to_canonical_json",
     "entry_csv_headers",
     "entry_csv_row",
+    "csv_row_from_canonical",
     "review_to_gostruct",
 ]
 
@@ -250,3 +251,74 @@ def entry_csv_row(e: dict) -> list[str]:
         _stringify(_maybe_list(e["user_reviews_extended"], review_to_gostruct)),
         ", ".join(e["emails"] or []),
     ]
+
+
+# ---- CSV cells straight from canonical JSON --------------------------------
+#
+# The results table carries only the canonical (Go-marshaled) JSON per row;
+# the CSV sink renders the 36 cells from it.  Nested objects must keep their
+# original struct order when re-serialized, so we parse with an
+# order-preserving hook into GoStruct rather than plain dicts.
+
+_CANON_STR_CELLS = {
+    # csv column → canonical json key, rendered as-is (string fields)
+    "input_id": "input_id", "link": "link", "title": "title",
+    "category": "category", "address": "address", "website": "web_site",
+    "phone": "phone", "plus_code": "plus_code", "cid": "cid",
+    "status": "status", "descriptions": "description",
+    "reviews_link": "reviews_link", "thumbnail": "thumbnail",
+    "timezone": "timezone", "price_range": "price_range",
+    "data_id": "data_id", "street_view_url": "street_view_url",
+    "place_id": "place_id",
+}
+_CANON_JSON_CELLS = {
+    "open_hours": "open_hours", "popular_times": "popular_times",
+    "reviews_per_rating": "reviews_per_rating", "images": "images",
+    "reservations": "reservations", "order_online": "order_online",
+    "menu": "menu", "owner": "owner", "complete_address": "complete_address",
+    "about": "about", "user_reviews": "user_reviews",
+    "user_reviews_extended": "user_reviews_extended",
+}
+_CANON_JOIN_CELLS = {
+    "credit_cards_accepted": "credit_cards_accepted", "emails": "emails",
+}
+_CANON_FLOAT_CELLS = {
+    "review_rating": "review_rating", "latitude": "latitude",
+    "longitude": "longtitude",  # legacy key wins (entry.go:140-174)
+}
+
+
+def csv_row_from_canonical(canonical_json: str) -> list[str]:
+    """36 CSV cells (entry.go:276-315 parity) from the canonical entry JSON.
+
+    Nested-struct cells re-serialize byte-identically because object key
+    order is preserved on parse (GoStruct hook) and scalars re-render through
+    the same Go-compatible formatters that produced them.
+    """
+    import json as _json
+
+    gs = _json.loads(
+        canonical_json, object_pairs_hook=lambda pairs: GoStruct(list(pairs))
+    )
+    top = dict(gs.fields)
+
+    def _as_list(v):
+        if v is None:
+            return []
+        return [x if isinstance(x, str) else str(x) for x in v]
+
+    row: list[str] = []
+    for col in _CSV_HEADERS:
+        if col in _CANON_STR_CELLS:
+            row.append(top.get(_CANON_STR_CELLS[col]) or "")
+        elif col in _CANON_JSON_CELLS:
+            row.append(go_json_dumps(top.get(_CANON_JSON_CELLS[col])))
+        elif col in _CANON_FLOAT_CELLS:
+            row.append(f"{float(top.get(_CANON_FLOAT_CELLS[col]) or 0.0):f}")
+        elif col == "review_count":
+            row.append(str(int(top.get("review_count") or 0)))
+        elif col in _CANON_JOIN_CELLS:
+            row.append(", ".join(_as_list(top.get(_CANON_JOIN_CELLS[col]))))
+        else:  # pragma: no cover
+            raise KeyError(col)
+    return row
