@@ -44,6 +44,7 @@ from ..extract.gojson import go_json_dumps
 from ..extract.place_page import extract_app_init_blob
 from ..extract.serp import extract_feed_links, parse_search_results
 from ..schemas import (
+    DISPATCH_SCHEMA,
     EMAIL_FINALIZE_SCHEMA,
     EMAILS_EXTRACT_SCHEMA,
     ENTRY_EXTRACT_SCHEMA,
@@ -53,11 +54,13 @@ from ..schemas import (
 __all__ = [
     "serp_links_udf",
     "entry_extract_udf",
+    "dispatch_udf",
     "emails_udf",
     "finalize_email_entry_udf",
     "reviews_pages_udf",
     "serp_entries_json_udf",
     "url_host_udf",
+    "etld1_col",
 ]
 
 
@@ -103,6 +106,7 @@ def _extract_one_entry(html: Any, seed_id: str, url: str, now_micros: int) -> di
     if not e["link"]:
         e["link"] = url                       # ≙ place.go:107-109
 
+    eligible = is_website_valid_for_email(e["web_site"])
     out.update({
         "input_id": e["input_id"],
         "link": e["link"],
@@ -122,12 +126,21 @@ def _extract_one_entry(html: Any, seed_id: str, url: str, now_micros: int) -> di
         "place_id": e["place_id"],
         "data_id": e["data_id"],
         "canonical_json": entry_to_canonical_json(e),
-        "entry_json": json.dumps(e),
+        # the internal repr is only consumed by the email hop — omit it
+        # otherwise (it is the widest field in the dispatch output)
+        "entry_json": json.dumps(e) if eligible else None,
         "valid": validate_entry(e),
-        "email_eligible": is_website_valid_for_email(e["web_site"]),
+        "email_eligible": eligible,
+        "email_url": _normalize_site(e["web_site"]) if eligible else None,
         "error": None,
     })
     return out
+
+
+def _normalize_site(site: str) -> str:
+    from ..extract.urls import normalize_google_url
+
+    return normalize_google_url(site or "")
 
 
 @pandas_udf(ENTRY_EXTRACT_SCHEMA)
@@ -198,25 +211,97 @@ def serp_entries_json_udf(body: pd.Series) -> pd.Series:
     return body.map(run)
 
 
+_EMAIL_FINALIZE_COLS = [f.name for f in EMAIL_FINALIZE_SCHEMA.fields]
+
+
+def _finalize_one_email(ej: str | None, h: Any) -> dict:
+    """Email hop (gmaps/emailjob.go:64-98): merge harvested emails into the
+    parked entry, re-serialize canonically, and emit the full typed result
+    row.  A fetch miss (null html) leaves the entry untouched — the job
+    still emits it."""
+    if ej is None:
+        return {c: None for c in _EMAIL_FINALIZE_COLS} | {"valid": False}
+    e = json.loads(ej)
+    if h is not None:
+        emails = extract_emails(_to_text(h))
+        e["emails"] = emails if emails else None  # Go nil slice when none
+    return {
+        "input_id": e["input_id"],
+        "link": e["link"],
+        "cid": e["cid"],
+        "title": e["title"],
+        "category": e["category"],
+        "categories": e["categories"],
+        "address": e["address"],
+        "web_site": e["web_site"],
+        "phone": e["phone"],
+        "plus_code": e["plus_code"],
+        "review_count": int(e["review_count"]),
+        "review_rating": float(e["review_rating"]),
+        "latitude": float(e["latitude"]),
+        "longitude": float(e["longtitude"]),
+        "status": e["status"],
+        "place_id": e["place_id"],
+        "data_id": e["data_id"],
+        "emails": e.get("emails"),
+        "canonical_json": entry_to_canonical_json(e),
+        "valid": validate_entry(e),
+    }
+
+
 @pandas_udf(EMAIL_FINALIZE_SCHEMA)
 def finalize_email_entry_udf(entry_json: pd.Series, html: pd.Series) -> pd.DataFrame:
-    """Email hop (gmaps/emailjob.go:64-98): merge harvested emails into the
-    parked entry and re-serialize canonically.  A fetch miss (null html)
-    leaves the entry untouched — the job still emits it."""
+    rows = [_finalize_one_email(ej, h) for ej, h in zip(entry_json, html)]
+    return pd.DataFrame(rows, columns=_EMAIL_FINALIZE_COLS)
 
-    def run(ej, h) -> dict:
-        e = json.loads(ej)
-        if h is not None:
-            emails = extract_emails(_to_text(h))
-            e["emails"] = emails if emails else None  # Go nil slice when none
-        return {
-            "emails": e.get("emails"),
-            "canonical_json": entry_to_canonical_json(e),
-            "valid": validate_entry(e),
-        }
 
-    rows = [run(ej, h) for ej, h in zip(entry_json, html)]
-    return pd.DataFrame(rows, columns=["emails", "canonical_json", "valid"])
+_DISPATCH_COLS = [f.name for f in DISPATCH_SCHEMA.fields]
+
+
+@pandas_udf(DISPATCH_SCHEMA)
+def dispatch_udf(
+    kind: pd.Series,
+    html: pd.Series,
+    payload: pd.Series,
+    seed_id: pd.Series,
+    url: pd.Series,
+    now_micros: pd.Series,
+) -> pd.DataFrame:
+    """Single-pass per-round processor: one Python stage handles every
+    claimed job by kind (≙ scrapemate dispatching each IJob's Process).
+
+      search → feed links (gmaps/job.go:145-177; direct /maps/place/ URLs
+               yield themselves as the sole non-deduped child)
+      place  → full entry extraction (gmaps/place.go:72-144)
+      email  → finalize the payload entry with harvested emails
+               (gmaps/emailjob.go:64-98)
+
+    Exactly one of links/entry/email is set; new_status is the job's
+    terminal status (fetch miss ⇒ search fails, place fails with the
+    fetch-error message, email still emits — job.go:114-116,
+    place.go:68-70, emailjob.go:100-102)."""
+    rows = []
+    for k, h, pl, s, u, n in zip(kind, html, payload, seed_id, url, now_micros):
+        out = dict.fromkeys(_DISPATCH_COLS)
+        if k == "search":
+            if h is None:
+                out["new_status"] = "failed"
+            elif "/maps/place/" in (u or ""):
+                out["links"], out["direct"] = [u], True
+                out["new_status"] = "done"
+            else:
+                out["links"] = extract_feed_links(_to_text(h))
+                out["direct"] = False
+                out["new_status"] = "done"
+        elif k == "place":
+            e = _extract_one_entry(h, s, u, int(n))
+            out["entry"] = e
+            out["new_status"] = "done" if e["error"] is None else "failed"
+        else:  # email
+            out["email"] = _finalize_one_email(pl, h)
+            out["new_status"] = "done"
+        rows.append(out)
+    return pd.DataFrame(rows, columns=_DISPATCH_COLS)
 
 
 @pandas_udf(T.StringType())
@@ -225,6 +310,30 @@ def url_host_udf(url: pd.Series) -> pd.Series:
     from ..extract.urls import etld1
 
     return url.map(lambda u: etld1(u or ""))
+
+
+def etld1_col(url_col):
+    """JVM-side eTLD+1 (same suffix table as ``extract.urls.etld1``) — keeps
+    the per-round frontier stamping inside whole-stage codegen instead of a
+    Python stage.  Non-URL inputs (no host) map to '' (frontier URLs are
+    always absolute, so this never diverges from the Python version there)."""
+    from ..extract.urls import _MULTI_PART_TLDS
+
+    host = F.lower(F.coalesce(F.parse_url(url_col, F.lit("HOST")), F.lit("")))
+    host = F.regexp_replace(host, r"\.$", "")
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    multi = F.array(*[F.lit(t) for t in sorted(_MULTI_PART_TLDS)])
+    return (
+        F.when(host == "", F.lit(""))
+        .when(n <= 2, host)
+        .when(F.array_contains(multi, last2), last3)
+        .otherwise(last2)
+    )
 
 
 def now_micros_lit(now_micros: int):

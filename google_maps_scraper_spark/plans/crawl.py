@@ -43,19 +43,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.extractors import (
-    emails_udf,
-    entry_extract_udf,
-    finalize_email_entry_udf,
-    serp_links_udf,
-    url_host_udf,
-)
+from ..operators.extractors import dispatch_udf, etld1_col
 from ..schemas import (
     FRONTIER_SCHEMA,
     KIND_EMAIL,
     KIND_PLACE,
     KIND_SEARCH,
-    PENDING_ENTRY_SCHEMA,
     PRIORITY_HIGH,
     PRIORITY_LOW,
     PRIORITY_MEDIUM,
@@ -82,6 +75,14 @@ class CrawlConfig:
     lang: str = "en"
     robots: list[tuple[str, str]] = field(default_factory=list)
     # (host, path_prefix) deny rules; engine-new (north_rule), absent in ref.
+    checkpoint_every: int = 1
+    # durable-checkpoint cadence: 1 = every round (max resumability); N>1
+    # keeps intermediate rounds as in-memory localCheckpoints (lineage still
+    # truncated) and writes the durable snapshot every N rounds + at fixpoint.
+    broadcast_claim_rows: int = 100_000
+    # claims up to this many rows broadcast into the pages join (the huge
+    # pages table is then never shuffled); larger claims fall back to a
+    # shuffle join, where AQE picks the physical strategy.
 
 
 def _jid(*cols):
@@ -103,10 +104,10 @@ class CrawlEngine:
         self.workdir = pathlib.Path(workdir)
         self.cfg = config or CrawlConfig()
         self.round = 0
+        self._cum_claimed = 0
         self._frontier: DataFrame | None = None
         self._seen: DataFrame | None = None
         self._results: DataFrame | None = None
-        self._pending: DataFrame | None = None
 
     # ---------------- seeding -------------------------------------------------
 
@@ -129,17 +130,20 @@ class CrawlEngine:
             rows.append((
                 jid, None, seed_id, KIND_SEARCH, url, 0, None, None,
                 PRIORITY_LOW, path, 0, self.cfg.max_depth, 0, 3,
-                STATUS_NEW, None, self.cfg.extract_email, self.cfg.lang,
+                STATUS_NEW, None, self.cfg.extract_email, self.cfg.lang, None,
             ))
         df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
         self._frontier = self._stamp_url_cols(df)
         self._seen = self.spark.createDataFrame([], SEEN_SCHEMA)
         self._results = self.spark.createDataFrame([], RESULT_SCHEMA)
-        self._pending = self.spark.createDataFrame([], PENDING_ENTRY_SCHEMA)
         self.round = 0
         if self.workdir.exists():
             shutil.rmtree(self.workdir)
-        self._checkpoint()
+        if self.cfg.checkpoint_every == 1:
+            self._checkpoint()  # durable round-0 snapshot (resume-from-seed)
+        else:
+            self.workdir.mkdir(parents=True, exist_ok=True)
+            self._persist_state()
 
     def seed_from_grid(
         self, queries: list[tuple[str, str]], bbox_str: str, cell_km: float, zoom: int
@@ -164,27 +168,77 @@ class CrawlEngine:
     def _stamp_url_cols(self, df: DataFrame) -> DataFrame:
         return (
             df.withColumn("url_hash", F.xxhash64("url"))
-            .withColumn("host", url_host_udf("url"))
+            .withColumn("host", etld1_col(F.col("url")))
             .withColumn(
                 "politeness_bucket",
                 F.pmod(F.xxhash64("url"), F.lit(self.cfg.politeness_salts)).cast("int"),
             )
         )
 
+    def _persist_state(self) -> None:
+        """Truncate lineage in memory (no durable write) — used between
+        durable checkpoints when ``checkpoint_every > 1``.
+
+        Only the tables the NEXT round reads get materialized (frontier for
+        the claim, seen for the anti-join, pending for the email join);
+        results are append-only and stay lazy until the next durable
+        checkpoint — their per-round deltas root in this round's already-
+        checkpointed ``fetched``/``extracted``, so deferred evaluation costs
+        one plan compile at checkpoint time instead of one per round.
+
+        Every persisted table is coalesced first: per-round unions otherwise
+        accumulate partitions round over round (old ∪ children ∪ ...), and by
+        round R a 1 k-row frontier schedules 100+ tasks per action — pure
+        scheduler overhead locally and straggler fodder on a cluster.
+
+        The three materializations are independent Spark jobs, so they run
+        concurrently from a thread pool (driver latency ≈ max, not sum; on a
+        real cluster concurrent jobs also keep executors fed)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = self._state_partitions()
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fs = {
+                name: ex.submit(
+                    lambda df: df.coalesce(n).localCheckpoint(eager=True), df
+                )
+                for name, df in (
+                    ("frontier", self._frontier),
+                    ("seen", self._seen),
+                )
+            }
+            self._frontier = fs["frontier"].result()
+            self._seen = fs["seen"].result()
+
+    def _state_partitions(self) -> int:
+        """Data-aware partition count for the state tables: ~16 k rows per
+        partition (cumulative claims approximate state size), floor 8 so
+        claim windows / anti-joins keep minimum parallelism, capped at 4096.
+        Sizing by data instead of cores keeps tiny states from scheduling
+        cores×tables no-op tasks every round."""
+        return int(min(4096, max(8, self._cum_claimed // 16384)))
+
     def _checkpoint(self) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         rd = self.workdir / f"round={self.round:04d}"
-        for name, df in (
-            ("frontier", self._frontier),
-            ("seen", self._seen),
-            ("results", self._results),
-            ("pending", self._pending),
-        ):
-            df.write.mode("overwrite").parquet(str(rd / name))
+        n = self._state_partitions()
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            list(ex.map(
+                lambda nd: nd[1].coalesce(n).write.mode("overwrite").parquet(
+                    str(rd / nd[0])
+                ),
+                (
+                    ("frontier", self._frontier),
+                    ("seen", self._seen),
+                    ("results", self._results),
+                ),
+            ))
         counters = self.counters()
         manifest = {
             "round": self.round,
             "counters": counters,
-            "tables": {n: str(rd / n) for n in ("frontier", "seen", "results", "pending")},
+            "tables": {n: str(rd / n) for n in ("frontier", "seen", "results")},
         }
         (rd / "manifest.json").write_text(json.dumps(manifest, indent=2))
         (self.workdir / "LATEST").write_text(str(self.round))
@@ -192,7 +246,6 @@ class CrawlEngine:
         self._frontier = self.spark.read.schema(FRONTIER_SCHEMA).parquet(str(rd / "frontier"))
         self._seen = self.spark.read.schema(SEEN_SCHEMA).parquet(str(rd / "seen"))
         self._results = self.spark.read.schema(RESULT_SCHEMA).parquet(str(rd / "results"))
-        self._pending = self.spark.read.schema(PENDING_ENTRY_SCHEMA).parquet(str(rd / "pending"))
 
     @classmethod
     def resume(
@@ -213,7 +266,6 @@ class CrawlEngine:
         eng._frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(str(rd / "frontier"))
         eng._seen = spark.read.schema(SEEN_SCHEMA).parquet(str(rd / "seen"))
         eng._results = spark.read.schema(RESULT_SCHEMA).parquet(str(rd / "results"))
-        eng._pending = spark.read.schema(PENDING_ENTRY_SCHEMA).parquet(str(rd / "pending"))
         return eng
 
     # ---------------- round ---------------------------------------------------
@@ -261,62 +313,65 @@ class CrawlEngine:
         return claimed, denied
 
     def run_round(self) -> dict:
-        """Execute one round; returns per-round stats."""
+        """Execute one round; returns per-round stats.
+
+        One Python pass per round: the claimed jobs join the pages table
+        (broadcast of the claim when it is budget-bounded small, shuffle
+        otherwise — chosen from the known claim count) and a single
+        kind-dispatched pandas UDF processes every fetched page.  The html
+        column dies inside that stage: only the compact dispatch output is
+        materialized, so executor/driver memory scales with results, never
+        with page bodies."""
         self.round += 1
         cfg = self.cfg
         claimed, denied = self._claim()
-        claimed = claimed.localCheckpoint(eager=True)
+        claimed = claimed.coalesce(self._state_partitions()).localCheckpoint(eager=True)
         n_claimed = claimed.count()
         if n_claimed == 0:
             self.round -= 1
             return {"claimed": 0, "done": True}
+        self._cum_claimed += n_claimed
 
         pages = self.pages.select("url", "html")
-        # The claimed round is budget-bounded — broadcast it so the huge pages
-        # table is never shuffled.  A right-outer join can't broadcast its
-        # small (right) side, so: broadcast inner join + anti-join recovery of
-        # fetch misses (html null ⇒ the fetch-error path, job.go:114-116).
-        inner = pages.join(F.broadcast(claimed), "url", "inner")
-        missing = claimed.join(
-            F.broadcast(inner.select("job_id")), "job_id", "left_anti"
-        ).withColumn("html", F.lit(None).cast("binary"))
-        fetched = inner.select(*missing.columns).unionByName(missing)
-        fetched = fetched.localCheckpoint(eager=True)
+        probe = (
+            F.broadcast(claimed)
+            if n_claimed <= cfg.broadcast_claim_rows
+            else claimed
+        )
+        now = F.lit(cfg.now_micros).cast("long")
+        inner = pages.join(probe, "url", "inner")
+        # NB: no coalesce here — coalesce is narrow and would collapse the
+        # dispatch UDF itself to the coalesced parallelism; the stage keeps
+        # the pages-scan partitioning (full cluster width).
+        processed = (
+            inner.withColumn(
+                "p", dispatch_udf("kind", "html", "payload", "seed_id", "url", now)
+            )
+            .drop("html")
+            .localCheckpoint(eager=True)
+        )
+        # fetch misses (≙ the fetch-error path: jobs still Process —
+        # job.go:114-116, place.go:68-70, emailjob.go:100-102); normally empty,
+        # so the tiny dispatch re-run stays lazy.
+        missing = (
+            claimed.join(processed.select("job_id"), "job_id", "left_anti")
+            .withColumn("html", F.lit(None).cast("binary"))
+            .withColumn(
+                "p", dispatch_udf("kind", "html", "payload", "seed_id", "url", now)
+            )
+            .drop("html")
+        )
+        processed_all = processed.unionByName(missing.select(processed.columns))
 
-        # --- search jobs -----------------------------------------------------
-        search = fetched.filter(F.col("kind") == KIND_SEARCH)
-        # direct place URL → single place child, NOT deduped (job.go:145-157)
-        direct = search.filter(F.col("url").contains("/maps/place/") & F.col("html").isNotNull())
-        direct_children = direct.select(
+        # --- search: feed links → admission → place children -----------------
+        search = processed_all.filter(F.col("kind") == KIND_SEARCH)
+        place_children = search.filter(F.col("p.links").isNotNull()).select(
             F.col("job_id").alias("parent_id"),
-            F.col("seed_id"),
-            F.col("url").alias("child_url"),
-            F.col("created_path"),
-            F.lit(0).alias("pos"),
-            F.col("depth"),
-            F.col("max_depth"),
-            F.col("extract_email"),
-            F.col("lang"),
-            F.lit(False).alias("dedup"),
+            "seed_id", "created_path", "depth", "max_depth",
+            "extract_email", "lang",
+            (~F.col("p.direct")).alias("dedup"),   # direct /maps/place/ URLs skip dedup (job.go:145-157)
+            F.posexplode("p.links").alias("pos", "child_url"),
         )
-        serp = search.filter(
-            ~F.col("url").contains("/maps/place/") & F.col("html").isNotNull()
-        )
-        serp_children = (
-            serp.withColumn("links", serp_links_udf("html"))
-            .select(
-                F.col("job_id").alias("parent_id"),
-                "seed_id", "created_path", "depth", "max_depth",
-                "extract_email", "lang",
-                F.posexplode("links").alias("pos", "child_url"),
-            )
-            .withColumn("dedup", F.lit(True))
-            .select(
-                "parent_id", "seed_id", "child_url", "created_path", "pos",
-                "depth", "max_depth", "extract_email", "lang", "dedup",
-            )
-        )
-        place_children = direct_children.unionByName(serp_children)
 
         # first-wins admission: within the round, the earliest
         # (created_path, pos) occurrence wins (≙ sequential DOM iteration
@@ -360,57 +415,43 @@ class CrawlEngine:
             F.lit(None).cast("int").alias("round_claimed"),
             F.col("extract_email"),
             F.col("lang"),
+            F.lit(None).cast("string").alias("payload"),
         )
 
-        # --- place jobs ------------------------------------------------------
-        place = fetched.filter(F.col("kind") == KIND_PLACE)
-        extracted = place.withColumn(
-            "e",
-            entry_extract_udf(
-                "html", "seed_id", "url", F.lit(cfg.now_micros).cast("long")
-            ),
-        ).localCheckpoint(eager=True)  # extraction runs once; reused 3×
+        # --- place: results now vs park-for-email-hop ------------------------
+        place = processed_all.filter(F.col("kind") == KIND_PLACE)
+        ok = place.filter(F.col("p.entry.error").isNull())
+        hop = F.lit(cfg.extract_email) & F.col("p.entry.email_eligible")
+        email_hop = ok.filter(hop)
+        emit_now = ok.filter(~hop)
 
-        ok = extracted.filter(F.col("e.error").isNull())
-        email_hop = ok.filter(
-            F.lit(cfg.extract_email) & F.col("e.email_eligible")
-        )
-        emit_now = ok.join(email_hop.select("job_id"), "job_id", "left_anti")
-
-        results_now = (
-            emit_now.filter(F.col("e.valid"))
-            .select(
-                "job_id",
-                F.col("e.input_id").alias("input_id"),
-                F.col("url"),
-                F.col("e.link").alias("link"),
-                F.col("e.cid").alias("cid"),
-                F.col("e.title").alias("title"),
-                F.col("e.category").alias("category"),
-                F.col("e.categories").alias("categories"),
-                F.col("e.address").alias("address"),
-                F.col("e.web_site").alias("web_site"),
-                F.col("e.phone").alias("phone"),
-                F.col("e.plus_code").alias("plus_code"),
-                F.col("e.review_count").alias("review_count"),
-                F.col("e.review_rating").alias("review_rating"),
-                F.col("e.latitude").alias("latitude"),
-                F.col("e.longitude").alias("longitude"),
-                F.col("e.status").alias("status"),
-                F.col("e.place_id").alias("place_id"),
-                F.col("e.data_id").alias("data_id"),
-                F.lit(None).cast("array<string>").alias("emails"),
-                F.col("e.canonical_json").alias("canonical_json"),
-                F.lit(self.round).alias("round_emitted"),
-            )
+        results_now = emit_now.filter(F.col("p.entry.valid")).select(
+            "job_id",
+            F.col("p.entry.input_id").alias("input_id"),
+            F.col("url"),
+            *[
+                F.col(f"p.entry.{c}").alias(c)
+                for c in (
+                    "link", "cid", "title", "category", "categories",
+                    "address", "web_site", "phone", "plus_code",
+                    "review_count", "review_rating", "latitude",
+                    "longitude", "status", "place_id", "data_id",
+                )
+            ],
+            F.lit(None).cast("array<string>").alias("emails"),
+            F.col("p.entry.canonical_json").alias("canonical_json"),
+            F.lit(self.round).alias("round_emitted"),
         )
 
+        # email child carries its parked entry as the job payload
+        # (≙ EmailExtractJob.Entry, gmaps/emailjob.go:32-41; the place result
+        # is suppressed: UsageInResults=false, place.go:124-138)
         email_jobs = email_hop.select(
-            _jid(F.lit(KIND_EMAIL), F.col("e.web_site"), F.col("job_id")).alias("job_id"),
+            _jid(F.lit(KIND_EMAIL), F.col("p.entry.web_site"), F.col("job_id")).alias("job_id"),
             F.col("job_id").alias("parent_id"),
             F.col("seed_id"),
             F.lit(KIND_EMAIL).alias("kind"),
-            F.col("e.web_site").alias("_raw_site"),
+            F.col("p.entry.email_url").alias("url"),   # normalized (emailjob.go:37,153-176)
             F.concat_ws(".", F.col("created_path"), F.lit("000000")).alias("created_path"),
             F.lit(PRIORITY_HIGH).alias("priority"),
             (F.col("depth") + 1).alias("depth"),
@@ -421,78 +462,34 @@ class CrawlEngine:
             F.lit(None).cast("int").alias("round_claimed"),
             F.col("extract_email"),
             F.col("lang"),
-        )
-        # normalize the website URL exactly as NewEmailJob does (emailjob.go:37)
-        from pyspark.sql.functions import pandas_udf as _pu  # noqa: F401
-        email_jobs = email_jobs.withColumn("url", _normalize_site_udf("_raw_site")).drop("_raw_site")
-        email_jobs = email_jobs.select([f.name for f in FRONTIER_SCHEMA.fields
-                                        if f.name not in ("url_hash", "host", "politeness_bucket")])
-
-        pending_new = email_hop.select(
-            F.col("job_id"),
-            F.col("e.entry_json").alias("entry_json"),
+            F.col("p.entry.entry_json").alias("payload"),
         )
 
-        # --- email jobs ------------------------------------------------------
-        email = fetched.filter(F.col("kind") == KIND_EMAIL)
-        email_done = email.join(self._pending.withColumnRenamed("job_id", "parent_id"),
-                                "parent_id", "left")
-        finalized = email_done.withColumn(
-            "f", finalize_email_entry_udf("entry_json", "html")
-        )
+        # --- email: finalized rows come straight from the dispatch output ----
+        email = processed_all.filter(F.col("kind") == KIND_EMAIL)
         email_results = (
-            finalized.filter(F.col("f.valid") & F.col("entry_json").isNotNull())
+            email.filter(F.col("p.email.valid") & F.col("payload").isNotNull())
             .select(
                 "job_id",
-                F.get_json_object("entry_json", "$.input_id").alias("input_id"),
+                F.col("p.email.input_id").alias("input_id"),
                 F.col("url"),
-                F.get_json_object("entry_json", "$.link").alias("link"),
-                F.get_json_object("entry_json", "$.cid").alias("cid"),
-                F.get_json_object("entry_json", "$.title").alias("title"),
-                F.get_json_object("entry_json", "$.category").alias("category"),
-                F.from_json(
-                    F.get_json_object("entry_json", "$.categories"), "array<string>"
-                ).alias("categories"),
-                F.get_json_object("entry_json", "$.address").alias("address"),
-                F.get_json_object("entry_json", "$.web_site").alias("web_site"),
-                F.get_json_object("entry_json", "$.phone").alias("phone"),
-                F.get_json_object("entry_json", "$.plus_code").alias("plus_code"),
-                F.get_json_object("entry_json", "$.review_count").cast("int").alias("review_count"),
-                F.get_json_object("entry_json", "$.review_rating").cast("double").alias("review_rating"),
-                F.get_json_object("entry_json", "$.latitude").cast("double").alias("latitude"),
-                F.get_json_object("entry_json", "$.longtitude").cast("double").alias("longitude"),
-                F.get_json_object("entry_json", "$.status").alias("status"),
-                F.get_json_object("entry_json", "$.place_id").alias("place_id"),
-                F.get_json_object("entry_json", "$.data_id").alias("data_id"),
-                F.col("f.emails").alias("emails"),
-                F.col("f.canonical_json").alias("canonical_json"),
+                *[
+                    F.col(f"p.email.{c}").alias(c)
+                    for c in (
+                        "link", "cid", "title", "category", "categories",
+                        "address", "web_site", "phone", "plus_code",
+                        "review_count", "review_rating", "latitude",
+                        "longitude", "status", "place_id", "data_id",
+                        "emails", "canonical_json",
+                    )
+                ],
                 F.lit(self.round).alias("round_emitted"),
             )
         )
 
-        # --- status flips ----------------------------------------------------
-        # search: done if page present (or direct-place), failed if missing
-        # place: done if extracted ok, failed otherwise; email: always done.
-        status_of_claimed = fetched.select(
-            "job_id",
-            F.when(F.col("kind") == KIND_EMAIL, F.lit(STATUS_DONE))
-            .when(
-                (F.col("kind") == KIND_SEARCH) & F.col("html").isNotNull(),
-                F.lit(STATUS_DONE),
-            )
-            .when(F.col("kind") == KIND_SEARCH, F.lit(STATUS_FAILED))
-            .otherwise(F.lit(None))
-            .alias("_new_status"),
-        )
-        place_status = extracted.select(
-            "job_id",
-            F.when(F.col("e.error").isNull(), F.lit(STATUS_DONE))
-            .otherwise(F.lit(STATUS_FAILED))
-            .alias("_new_status2"),
-        )
-        status_of_claimed = status_of_claimed.join(place_status, "job_id", "left").select(
-            "job_id",
-            F.coalesce("_new_status2", "_new_status").alias("new_status"),
+        # --- status flips -----------------------------------------------------
+        status_of_claimed = processed_all.select(
+            "job_id", F.col("p.new_status").alias("new_status")
         )
         if denied is not None:
             status_of_claimed = status_of_claimed.unionByName(
@@ -528,8 +525,10 @@ class CrawlEngine:
         self._results = self._results.unionByName(
             results_now.unionByName(email_results)
         )
-        self._pending = self._pending.unionByName(pending_new)
-        self._checkpoint()
+        if self.round % max(self.cfg.checkpoint_every, 1) == 0:
+            self._checkpoint()
+        else:
+            self._persist_state()
         return stats
 
     def run(self) -> dict:
@@ -538,6 +537,8 @@ class CrawlEngine:
             stats = self.run_round()
             if stats.get("done"):
                 break
+        if self.cfg.checkpoint_every > 1:
+            self._checkpoint()  # durable snapshot at fixpoint
         return self.counters()
 
     # ---------------- outputs -------------------------------------------------
@@ -575,13 +576,3 @@ class CrawlEngine:
 
         write_results_csv(self._results, path)
 
-
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql import types as T
-
-
-@pandas_udf(T.StringType())
-def _normalize_site_udf(site):
-    from ..extract.urls import normalize_google_url
-
-    return site.map(lambda s: normalize_google_url(s or ""))

@@ -28,6 +28,7 @@ __all__ = [
     "RESULT_SCHEMA",
     "PENDING_ENTRY_SCHEMA",
     "EMAIL_FINALIZE_SCHEMA",
+    "DISPATCH_SCHEMA",
     "SERP_LINKS_SCHEMA",
     "ENTRY_EXTRACT_SCHEMA",
     "EMAILS_EXTRACT_SCHEMA",
@@ -88,6 +89,10 @@ FRONTIER_SCHEMA = T.StructType([
     T.StructField("round_claimed", T.IntegerType(), True),
     T.StructField("extract_email", T.BooleanType(), False),
     T.StructField("lang", T.StringType(), True),
+    # Job payload: email jobs carry their parked entry (internal-dict JSON),
+    # exactly as the reference's EmailExtractJob embeds *Entry
+    # (gmaps/emailjob.go:32-41) — no side table, no extra join.
+    T.StructField("payload", T.StringType(), True),
 ])
 
 # Entry payload parked between the place hop and the email hop (the reference
@@ -158,14 +163,46 @@ ENTRY_EXTRACT_SCHEMA = T.StructType([
     T.StructField("entry_json", T.StringType(), True),    # internal repr for the email hop
     T.StructField("valid", T.BooleanType(), True),
     T.StructField("email_eligible", T.BooleanType(), True),
+    T.StructField("email_url", T.StringType(), True),     # normalized website URL (emailjob.go:37,153-176)
     T.StructField("error", T.StringType(), True),
 ])
 
 # email-hop finalization: merged emails + re-serialized canonical JSON
 EMAIL_FINALIZE_SCHEMA = T.StructType([
+    # full result row (typed scalars come back from the UDF so the plan needs
+    # no per-column JSON re-parsing of entry_json)
+    T.StructField("input_id", T.StringType(), True),
+    T.StructField("link", T.StringType(), True),
+    T.StructField("cid", T.StringType(), True),
+    T.StructField("title", T.StringType(), True),
+    T.StructField("category", T.StringType(), True),
+    T.StructField("categories", T.ArrayType(T.StringType()), True),
+    T.StructField("address", T.StringType(), True),
+    T.StructField("web_site", T.StringType(), True),
+    T.StructField("phone", T.StringType(), True),
+    T.StructField("plus_code", T.StringType(), True),
+    T.StructField("review_count", T.IntegerType(), True),
+    T.StructField("review_rating", T.DoubleType(), True),
+    T.StructField("latitude", T.DoubleType(), True),
+    T.StructField("longitude", T.DoubleType(), True),
+    T.StructField("status", T.StringType(), True),
+    T.StructField("place_id", T.StringType(), True),
+    T.StructField("data_id", T.StringType(), True),
     T.StructField("emails", T.ArrayType(T.StringType()), True),
     T.StructField("canonical_json", T.StringType(), True),
     T.StructField("valid", T.BooleanType(), True),
 ])
 
 EMAILS_EXTRACT_SCHEMA = T.ArrayType(T.StringType())
+
+# Single-pass dispatch UDF output: exactly one of links/entry/email is
+# populated per row depending on the job kind, plus the job's terminal
+# status.  One Python stage per round processes every fetched page once, and
+# the html column dies inside that stage (never checkpointed or shuffled).
+DISPATCH_SCHEMA = T.StructType([
+    T.StructField("links", T.ArrayType(T.StringType()), True),   # search
+    T.StructField("direct", T.BooleanType(), True),              # search: direct /maps/place/ URL
+    T.StructField("entry", ENTRY_EXTRACT_SCHEMA, True),          # place
+    T.StructField("email", EMAIL_FINALIZE_SCHEMA, True),         # email
+    T.StructField("new_status", T.StringType(), False),
+])

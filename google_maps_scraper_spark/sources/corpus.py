@@ -29,7 +29,12 @@ from typing import Any
 
 from ..extract.urls import build_search_url
 
-__all__ = ["SyntheticCorpus", "generate_corpus", "set_path"]
+__all__ = [
+    "SyntheticCorpus",
+    "generate_corpus",
+    "generate_corpus_spark",
+    "set_path",
+]
 
 _EPOCH = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
 
@@ -324,3 +329,204 @@ def corpus_to_spark(spark, corpus: SyntheticCorpus):
         ],
         PAGES_SCHEMA,
     )
+
+
+def _dist_meta(s: int, p: int, seed: int, cat: str, city: str, country: str,
+               tz: str, clat: float, clon: float, url: str) -> dict:
+    """Deterministic per-place metadata for the distributed generator."""
+    rng = random.Random(f"{seed}-{s}-{p}")
+    pid = f"{s:04d}-{p:04d}"
+    h1 = hashlib.sha256(f"hex1-{seed}-{pid}".encode()).hexdigest()[:16]
+    h2 = hashlib.sha256(f"hex2-{seed}-{pid}".encode()).hexdigest()[:16]
+    name = f"{cat} {city} {pid}"
+    has_site = rng.random() < 0.6
+    social = has_site and rng.random() < 0.15
+    if social:
+        website = f"https://facebook.com/{pid}"
+    elif has_site:
+        host = _HOST_POOL[0] if rng.random() < 0.5 else rng.choice(_HOST_POOL[1:])
+        website = f"https://{host}/biz/{pid}"
+    else:
+        website = ""
+    n_reviews = rng.randint(0, 3)
+    return {
+        "title": name,
+        "categories": [cat, "Food"],
+        "address": f" {10 + p % 90} Main St, {city} {1000 + p % 9000}",
+        "link": url,
+        "rating": round(rng.uniform(3.0, 5.0), 1),
+        "review_count": rng.randint(5, 900),
+        "price_range": rng.choice(["€", "€€", "€€€"]),
+        "lat": round(clat + rng.uniform(-0.05, 0.05), 7),
+        "lon": round(clon + rng.uniform(-0.05, 0.05), 7),
+        "website_raw": website,
+        "phone": f"+30 21{rng.randint(10000000, 99999999)}",
+        "plus_code": f"{pid} {city}",
+        "street": f"{10 + p % 90} Main St",
+        "city": city,
+        "postal_code": str(1000 + p % 9000),
+        "country": country,
+        "timezone": tz,
+        "data_id": f"0x{h1}:0x{h2}",
+        "place_id": f"ChIJ{h1}{h2}"[:27],
+        "status": rng.choice(["Open", "Closed", "Open ⋅ Closes 10 pm"]),
+        "description": f"A fine {cat.lower()} in {city}.",
+        "hours": [(d, "9 am–10 pm") for d in _DAYS],
+        "popular_times": [
+            (d + 1, [(h, rng.randint(0, 100)) for h in range(8, 23)])
+            for d in range(7)
+        ],
+        "reviews_per_rating": [rng.randint(0, 50) for _ in range(5)],
+        "reviews": [
+            {
+                "review_id": f"rev-{pid}-{r}",
+                "posted_micros": 1700000000000000 + rng.randint(0, 10**12),
+                "author_url": f"https://www.google.com/maps/contrib/1{rng.randint(10**19, 10**20 - 1)}",
+                "author": f"Reviewer {pid}-{r}",
+                "profile_pic": f"https://lh3.example.com/p/{pid}-{r}=w36",
+                "when": f"{r + 1} months ago",
+                "rating": rng.randint(1, 5),
+                "text": f"Review {r} of {name}. Nice {cat.lower()}!",
+            }
+            for r in range(n_reviews)
+        ],
+        "cid": str(int(h2, 16)),
+        "malformed": rng.random() < 0.05,
+        "social": social,
+    }
+
+
+def _dist_ctx(s: int) -> tuple:
+    city, country, tz, clat, clon = _CITIES[s % len(_CITIES)]
+    cat = _CATEGORIES[s % len(_CATEGORIES)]
+    return cat, city, country, tz, clat, clon
+
+
+def _dist_url(s: int, p: int, seed: int, per_serp: int, n_dups: int) -> tuple[int, int, str]:
+    """Resolve the (possibly duplicate) place slot (s, p) to the REAL place it
+    names.  Real places live at p >= n_dups (seed 0: everywhere); duplicate
+    slots deterministically point one SERP back — no recursion needed."""
+    if s > 0 and p < n_dups:
+        span = per_serp - n_dups if s - 1 > 0 else per_serp
+        base = n_dups if s - 1 > 0 else 0
+        s, p = s - 1, base + (p * 13) % span
+    cat, city, *_ = _dist_ctx(s)
+    pid = f"{s:04d}-{p:04d}"
+    h1 = hashlib.sha256(f"hex1-{seed}-{pid}".encode()).hexdigest()[:16]
+    h2 = hashlib.sha256(f"hex2-{seed}-{pid}".encode()).hexdigest()[:16]
+    name = f"{cat} {city} {pid}"
+    url = (
+        f"https://www.google.com/maps/place/{name.replace(' ', '+')}"
+        f"/data=!4m2!3m1!1s0x{h1}:0x{h2}!10m1!1e1"
+    )
+    return s, p, url
+
+
+def generate_corpus_spark(
+    spark,
+    n_seeds: int,
+    places_per_serp: int,
+    dup_fraction: float = 0.3,
+    seed: int = 42,
+):
+    """Distributed synthetic corpus (same page shapes as ``generate_corpus``)
+    built inside executors via ``mapInPandas`` — the driver never touches a
+    page body, so corpus size scales with the cluster, not the driver.
+
+    Returns ``(pages_df, seeds)`` where seeds is the (query, custom_id) list.
+    """
+    import pandas as pd
+
+    from ..schemas import PAGES_SCHEMA
+
+    n_dups = int(places_per_serp * dup_fraction)
+    per_serp = places_per_serp
+
+    def gen_places(batches):
+        for pdf in batches:
+            rows = []
+            for gid in pdf["id"]:
+                s, p = divmod(int(gid), per_serp)
+                if s > 0 and p < n_dups:
+                    continue  # duplicate slot — page exists at its target
+                rs, rp, url = _dist_url(s, p, seed, per_serp, n_dups)
+                cat, city, country, tz, clat, clon = _dist_ctx(rs)
+                meta = _dist_meta(rs, rp, seed, cat, city, country, tz, clat, clon, url)
+                ts = _EPOCH + dt.timedelta(seconds=int(gid) % 86400)
+                if meta["malformed"]:
+                    html = ("<html><script>window.APP_INITIALIZATION_STATE="
+                            "[null,null,null,[[null,null,null,null,null,null,\")]}'{broken\"]]];"
+                            "</script></html>")
+                else:
+                    html = _place_html(meta)
+                rows.append((url, ts.replace(tzinfo=None), html.encode(), "", "en"))
+                website = meta["website_raw"]
+                if website and not meta["social"]:
+                    host = website.split("/")[2]
+                    e1, e2 = f"info@{host}", f"sales-{rs:04d}-{rp:04d}@{host}"
+                    plaintext = [f"Contact: {e1}", f"or {e2}", "bad@@x"]
+                    rows.append((
+                        website, ts.replace(tzinfo=None),
+                        _website_html([e1, e1, "not-an-email"], plaintext).encode()
+                        if random.Random(f"{seed}-w-{rs}-{rp}").random() < 0.5
+                        else _website_html([], plaintext).encode(),
+                        " ".join(plaintext), "en",
+                    ))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    def gen_serps(batches):
+        for pdf in batches:
+            rows = []
+            for sid in pdf["id"]:
+                s = int(sid)
+                cat, city, *_ = _dist_ctx(s)
+                # district token keeps queries (hence SERP urls) unique per seed
+                serp_url = build_search_url(
+                    f"{cat.lower()} in {city.lower()} district {s:04d}"
+                )
+                urls = [
+                    _dist_url(s, p, seed, per_serp, n_dups)[2]
+                    for p in range(per_serp)
+                ]
+                rng = random.Random(f"{seed}-serp-{s}")
+                rng.shuffle(urls)
+                ts = _EPOCH + dt.timedelta(seconds=90000 + s)
+                rows.append((
+                    serp_url, ts.replace(tzinfo=None),
+                    _serp_html(urls).encode(), "", "en",
+                ))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    places = (
+        spark.range(n_seeds * per_serp, numPartitions=max(par * 2, 8))
+        .mapInPandas(gen_places, PAGES_SCHEMA)
+    )
+    serps = (
+        spark.range(n_seeds, numPartitions=max(min(par, n_seeds), 1))
+        .mapInPandas(gen_serps, PAGES_SCHEMA)
+    )
+    pages = places.unionByName(serps)
+
+    seeds = []
+    for s in range(n_seeds):
+        cat, city, *_ = _dist_ctx(s)
+        custom_id = f"seed-{s:03d}" if s % 2 == 0 else ""
+        seeds.append(
+            (f"{cat.lower()} in {city.lower()} district {s:04d}", custom_id)
+        )
+    return pages, seeds
+
+
+def corpus_to_parquet(spark, corpus: SyntheticCorpus, path: str, partitions: int = 32):
+    """Write the pages table to parquet (the bench/scaling input: reading a
+    columnar pages table is the 100 TB shape — html stays a pruned-away
+    column except in the fetch-extract stage)."""
+    corpus_to_spark(spark, corpus).repartition(partitions, "url").write.mode(
+        "overwrite"
+    ).parquet(path)
+    return spark.read.parquet(path)
