@@ -78,13 +78,16 @@ def serp_links_udf(html: pd.Series) -> pd.Series:
     return html.map(lambda h: extract_feed_links(_to_text(h)) if h is not None else [])
 
 
-def _extract_one_entry(html: Any, seed_id: str, url: str, now_micros: int) -> dict:
+def _extract_one_entry_pair(
+    html: Any, seed_id: str, url: str, now_micros: int
+) -> tuple[dict, dict | None]:
+    """Returns (ENTRY_EXTRACT fields, internal entry dict | None on error)."""
     out: dict[str, Any] = {k.name: None for k in ENTRY_EXTRACT_SCHEMA.fields}
     out["valid"] = False
     out["email_eligible"] = False
     if html is None:
         out["error"] = "fetch error: page not in corpus"
-        return out
+        return out, None
     blob = extract_app_init_blob(_to_text(html))
     if blob is None:
         # Stored payload may already be the raw blob (RPC-style captures).
@@ -95,19 +98,29 @@ def _extract_one_entry(html: Any, seed_id: str, url: str, now_micros: int) -> di
             blob = text
         else:
             out["error"] = "APP_INITIALIZATION_STATE data not found"
-            return out
+            return out, None
     try:
         e = entry_from_json(blob, now_micros=now_micros)
     except Exception as exc:  # ≙ EntryFromJSON error/panic-recover path
         out["error"] = str(exc)
-        return out
+        return out, None
 
     e["input_id"] = seed_id or ""            # ≙ entry.ID = j.ParentID (place.go:105)
     if not e["link"]:
         e["link"] = url                       # ≙ place.go:107-109
 
+    out.update(_entry_fields(e))
+    return out, e
+
+
+def _extract_one_entry(html: Any, seed_id: str, url: str, now_micros: int) -> dict:
+    return _extract_one_entry_pair(html, seed_id, url, now_micros)[0]
+
+
+def _entry_fields(e: dict) -> dict:
+    """ENTRY_EXTRACT_SCHEMA fields from an internal entry dict."""
     eligible = is_website_valid_for_email(e["web_site"])
-    out.update({
+    return {
         "input_id": e["input_id"],
         "link": e["link"],
         "cid": e["cid"],
@@ -133,8 +146,7 @@ def _extract_one_entry(html: Any, seed_id: str, url: str, now_micros: int) -> di
         "email_eligible": eligible,
         "email_url": _normalize_site(e["web_site"]) if eligible else None,
         "error": None,
-    })
-    return out
+    }
 
 
 def _normalize_site(site: str) -> str:
@@ -257,6 +269,57 @@ def finalize_email_entry_udf(entry_json: pd.Series, html: pd.Series) -> pd.DataF
 
 _DISPATCH_COLS = [f.name for f in DISPATCH_SCHEMA.fields]
 
+# Deterministic substitute for the reference's crypto-random RPC session id
+# (gmaps/reviews.go:305-324) — semantically inert, must only be stable so
+# stored RPC pages are addressable.
+REVIEW_REQUEST_ID = "0" * 21
+REVIEW_PAGE_SIZE = 20   # gmaps/reviews.go:52
+REVIEW_PAGE_CAP = 50    # gmaps/reviews.go:148
+
+
+def _reviews_start(e: dict, place_url: str) -> dict:
+    """PlaceJob with ExtractExtraReviews && reviewCount > 0
+    (gmaps/place.go:180-202): park the entry and chain to RPC page 1."""
+    from ..extract.urls import build_review_rpc_url
+
+    return {
+        "url": build_review_rpc_url(
+            place_url, "", REVIEW_PAGE_SIZE, REVIEW_REQUEST_ID
+        ),
+        "payload": json.dumps({
+            "entry": e, "acc": [], "pages": 0, "place_url": place_url,
+        }),
+    }
+
+
+def _reviews_step(pl: str, h: Any, now: int) -> dict:
+    """One RPC page of the chain (gmaps/reviews.go:70-97): accumulate
+    reviews, follow the next-page token (page cap 50), finalize the entry
+    with UserReviewsExtended when the chain ends (gmaps/entry.go:317-328)."""
+    from ..extract.urls import build_review_rpc_url, extract_next_page_token
+
+    st = json.loads(pl)
+    token = ""
+    if h is not None:
+        body = _to_text(h)
+        st["acc"].extend(extract_reviews_page(body, now_micros=now))
+        token = extract_next_page_token(body)
+    st["pages"] += 1
+    out: dict[str, Any] = {"reviews_next": None, "entry": None}
+    if token and st["pages"] < REVIEW_PAGE_CAP:
+        out["reviews_next"] = {
+            "url": build_review_rpc_url(
+                st["place_url"], token, REVIEW_PAGE_SIZE, REVIEW_REQUEST_ID
+            ),
+            "payload": json.dumps(st),
+        }
+    else:
+        e = st["entry"]
+        if st["acc"]:
+            e["user_reviews_extended"] = st["acc"]
+        out["entry"] = _entry_fields(e)
+    return out
+
 
 @pandas_udf(DISPATCH_SCHEMA)
 def dispatch_udf(
@@ -266,6 +329,7 @@ def dispatch_udf(
     seed_id: pd.Series,
     url: pd.Series,
     now_micros: pd.Series,
+    extra_reviews: pd.Series,
 ) -> pd.DataFrame:
     """Single-pass per-round processor: one Python stage handles every
     claimed job by kind (≙ scrapemate dispatching each IJob's Process).
@@ -281,7 +345,9 @@ def dispatch_udf(
     fetch-error message, email still emits — job.go:114-116,
     place.go:68-70, emailjob.go:100-102)."""
     rows = []
-    for k, h, pl, s, u, n in zip(kind, html, payload, seed_id, url, now_micros):
+    for k, h, pl, s, u, n, xr in zip(
+        kind, html, payload, seed_id, url, now_micros, extra_reviews
+    ):
         out = dict.fromkeys(_DISPATCH_COLS)
         if k == "search":
             if h is None:
@@ -294,9 +360,21 @@ def dispatch_udf(
                 out["direct"] = False
                 out["new_status"] = "done"
         elif k == "place":
-            e = _extract_one_entry(h, s, u, int(n))
-            out["entry"] = e
-            out["new_status"] = "done" if e["error"] is None else "failed"
+            e, internal = _extract_one_entry_pair(h, s, u, int(n))
+            if (
+                internal is not None and bool(xr)
+                and (e["review_count"] or 0) > 0
+            ):
+                # park the entry; chain into the review-RPC pages instead of
+                # emitting now (gmaps/place.go:180-202)
+                out["reviews_next"] = _reviews_start(internal, u)
+                out["new_status"] = "done"
+            else:
+                out["entry"] = e
+                out["new_status"] = "done" if e["error"] is None else "failed"
+        elif k == "reviews":
+            out.update(_reviews_step(pl, h, int(n)))
+            out["new_status"] = "done"
         else:  # email
             out["email"] = _finalize_one_email(pl, h)
             out["new_status"] = "done"

@@ -48,6 +48,7 @@ from ..schemas import (
     FRONTIER_SCHEMA,
     KIND_EMAIL,
     KIND_PLACE,
+    KIND_REVIEWS,
     KIND_SEARCH,
     PRIORITY_HIGH,
     PRIORITY_LOW,
@@ -67,6 +68,7 @@ _RESULT_COLS = [f.name for f in RESULT_SCHEMA.fields]
 @dataclass
 class CrawlConfig:
     extract_email: bool = False
+    extra_reviews: bool = False          # ≙ -extra-reviews (gmaps/place.go:180-202)
     max_depth: int = 10                  # ≙ -depth default, runner/runner.go:111
     max_rounds: int = 64
     now_micros: int = 1786838400000000   # pinned clock (determinism)
@@ -216,7 +218,7 @@ class CrawlEngine:
         claim windows / anti-joins keep minimum parallelism, capped at 4096.
         Sizing by data instead of cores keeps tiny states from scheduling
         cores×tables no-op tasks every round."""
-        return int(min(4096, max(8, self._cum_claimed // 16384)))
+        return int(min(4096, max(8, self._cum_claimed // 8192)))
 
     def _checkpoint(self) -> None:
         from concurrent.futures import ThreadPoolExecutor
@@ -234,18 +236,19 @@ class CrawlEngine:
                     ("results", self._results),
                 ),
             ))
-        counters = self.counters()
+        # re-read first: truncates lineage, makes state immutable on disk, and
+        # lets the manifest counters run against parquet scans (count() is
+        # metadata-only there) instead of re-evaluating the lazy plans.
+        self._frontier = self.spark.read.schema(FRONTIER_SCHEMA).parquet(str(rd / "frontier"))
+        self._seen = self.spark.read.schema(SEEN_SCHEMA).parquet(str(rd / "seen"))
+        self._results = self.spark.read.schema(RESULT_SCHEMA).parquet(str(rd / "results"))
         manifest = {
             "round": self.round,
-            "counters": counters,
+            "counters": self.counters(),
             "tables": {n: str(rd / n) for n in ("frontier", "seen", "results")},
         }
         (rd / "manifest.json").write_text(json.dumps(manifest, indent=2))
         (self.workdir / "LATEST").write_text(str(self.round))
-        # re-read: truncates lineage, makes state immutable on disk
-        self._frontier = self.spark.read.schema(FRONTIER_SCHEMA).parquet(str(rd / "frontier"))
-        self._seen = self.spark.read.schema(SEEN_SCHEMA).parquet(str(rd / "seen"))
-        self._results = self.spark.read.schema(RESULT_SCHEMA).parquet(str(rd / "results"))
 
     @classmethod
     def resume(
@@ -332,36 +335,37 @@ class CrawlEngine:
             return {"claimed": 0, "done": True}
         self._cum_claimed += n_claimed
 
+        # Fetch = two-step join keyed narrow:
+        #   1. broadcast ONLY (job_id, url) into the pages scan — the probe
+        #      stays a few MB even when email claims carry multi-KB entry
+        #      payloads (broadcasting payload-bearing claims measurably
+        #      thrashed every scan task with a multi-hundred-MB relation);
+        #   2. shuffle-join the fetched html back to the full claim rows on
+        #      job_id — both sides are claim-sized, so this parallelizes and
+        #      never touches the pages table again.
+        # A left join makes fetch misses plain html-null rows (≙ the
+        # fetch-error path: jobs still Process — job.go:114-116,
+        # place.go:68-70, emailjob.go:100-102), so ONE dispatch pass covers
+        # hits and misses alike.
         pages = self.pages.select("url", "html")
+        keys = claimed.select("job_id", "url")
         probe = (
-            F.broadcast(claimed)
-            if n_claimed <= cfg.broadcast_claim_rows
-            else claimed
+            F.broadcast(keys) if n_claimed <= cfg.broadcast_claim_rows else keys
         )
+        got = pages.join(probe, "url", "inner").select("job_id", "html")
+        fetched = claimed.join(got, "job_id", "left")
         now = F.lit(cfg.now_micros).cast("long")
-        inner = pages.join(probe, "url", "inner")
-        # NB: no coalesce here — coalesce is narrow and would collapse the
-        # dispatch UDF itself to the coalesced parallelism; the stage keeps
-        # the pages-scan partitioning (full cluster width).
-        processed = (
-            inner.withColumn(
-                "p", dispatch_udf("kind", "html", "payload", "seed_id", "url", now)
+        processed_all = (
+            fetched.withColumn(
+                "p",
+                dispatch_udf(
+                    "kind", "html", "payload", "seed_id", "url", now,
+                    F.lit(cfg.extra_reviews),
+                ),
             )
             .drop("html")
             .localCheckpoint(eager=True)
         )
-        # fetch misses (≙ the fetch-error path: jobs still Process —
-        # job.go:114-116, place.go:68-70, emailjob.go:100-102); normally empty,
-        # so the tiny dispatch re-run stays lazy.
-        missing = (
-            claimed.join(processed.select("job_id"), "job_id", "left_anti")
-            .withColumn("html", F.lit(None).cast("binary"))
-            .withColumn(
-                "p", dispatch_udf("kind", "html", "payload", "seed_id", "url", now)
-            )
-            .drop("html")
-        )
-        processed_all = processed.unionByName(missing.select(processed.columns))
 
         # --- search: feed links → admission → place children -----------------
         search = processed_all.filter(F.col("kind") == KIND_SEARCH)
@@ -418,8 +422,13 @@ class CrawlEngine:
             F.lit(None).cast("string").alias("payload"),
         )
 
-        # --- place: results now vs park-for-email-hop ------------------------
-        place = processed_all.filter(F.col("kind") == KIND_PLACE)
+        # --- place / finished review chains: results vs email hop ------------
+        # (a finished reviews chain emits exactly like a place job; the entry
+        # it carries already holds user_reviews_extended)
+        place = processed_all.filter(
+            F.col("kind").isin(KIND_PLACE, KIND_REVIEWS)
+            & F.col("p.entry").isNotNull()
+        )
         ok = place.filter(F.col("p.entry.error").isNull())
         hop = F.lit(cfg.extract_email) & F.col("p.entry.email_eligible")
         email_hop = ok.filter(hop)
@@ -465,6 +474,33 @@ class CrawlEngine:
             F.col("p.entry.entry_json").alias("payload"),
         )
 
+        # --- review-RPC chain continuations -----------------------------------
+        # one frontier job per RPC page; the accumulated reviews ride in the
+        # payload (gmaps/reviews.go:70-97 loop, page cap 50).  Chain jobs keep
+        # the parent's depth: the page cap, not the crawl depth, bounds them.
+        reviews_jobs = processed_all.filter(
+            F.col("p.reviews_next.url").isNotNull()
+        ).select(
+            _jid(
+                F.lit(KIND_REVIEWS), F.col("p.reviews_next.url"), F.col("job_id")
+            ).alias("job_id"),
+            F.col("job_id").alias("parent_id"),
+            F.col("seed_id"),
+            F.lit(KIND_REVIEWS).alias("kind"),
+            F.col("p.reviews_next.url").alias("url"),
+            F.concat_ws(".", F.col("created_path"), F.lit("r00000")).alias("created_path"),
+            F.lit(PRIORITY_MEDIUM).alias("priority"),
+            F.col("depth"),
+            F.col("max_depth"),
+            F.lit(0).alias("retries"),
+            F.lit(3).alias("max_retries"),
+            F.lit(STATUS_NEW).alias("status"),
+            F.lit(None).cast("int").alias("round_claimed"),
+            F.col("extract_email"),
+            F.col("lang"),
+            F.col("p.reviews_next.payload").alias("payload"),
+        )
+
         # --- email: finalized rows come straight from the dispatch output ----
         email = processed_all.filter(F.col("kind") == KIND_EMAIL)
         email_results = (
@@ -496,7 +532,9 @@ class CrawlEngine:
                 denied.select("job_id", F.lit(STATUS_FAILED).alias("new_status"))
             )
 
-        new_children = place_jobs.unionByName(email_jobs.select(place_jobs.columns))
+        new_children = place_jobs.unionByName(
+            email_jobs.select(place_jobs.columns)
+        ).unionByName(reviews_jobs.select(place_jobs.columns))
         new_children = self._stamp_url_cols(new_children)
 
         updated_frontier = (

@@ -22,12 +22,18 @@ from ..extract.canonical import entry_to_canonical_json
 from ..extract.emails import extract_emails
 from ..extract.entry import (
     entry_from_json,
+    extract_reviews_page,
     is_website_valid_for_email,
     validate_entry,
 )
 from ..extract.place_page import extract_app_init_blob
 from ..extract.serp import extract_feed_links
-from ..extract.urls import build_search_url, normalize_google_url
+from ..extract.urls import (
+    build_review_rpc_url,
+    build_search_url,
+    extract_next_page_token,
+    normalize_google_url,
+)
 from ..schemas import (
     KIND_EMAIL,
     KIND_PLACE,
@@ -70,12 +76,33 @@ class SequentialOracle:
         self,
         pages: dict[str, bytes | str],
         extract_email: bool = False,
+        extra_reviews: bool = False,
         now_micros: int = 0,
     ):
         self.pages = pages
         self.extract_email = extract_email
+        self.extra_reviews = extra_reviews
         self.now_micros = now_micros
         self._seen: set[str] = set()
+
+    def _fetch_extra_reviews(self, place_url: str) -> list[dict]:
+        """The reference's RPC pagination loop run inline inside the place
+        job (gmaps/reviews.go:46-97; page cap 50; deterministic request id
+        matches the engine's stored-page keying)."""
+        acc: list[dict] = []
+        token = ""
+        pages_fetched = 0
+        while pages_fetched < 50:
+            url = build_review_rpc_url(place_url, token, 20, "0" * 21)
+            body = self.pages.get(url)
+            if body is None:
+                break
+            pages_fetched += 1
+            acc.extend(extract_reviews_page(body, now_micros=self.now_micros))
+            token = extract_next_page_token(body)
+            if not token:
+                break
+        return acc
 
     def run(self, seed_queries: list[tuple[str, str]]) -> OracleResult:
         """seed_queries: (query_text, custom_id) pairs in input order."""
@@ -153,6 +180,10 @@ class SequentialOracle:
                 entry["input_id"] = job.seed_id
                 if not entry["link"]:
                     entry["link"] = job.url
+                if self.extra_reviews and (entry["review_count"] or 0) > 0:
+                    acc = self._fetch_extra_reviews(job.url)
+                    if acc:
+                        entry["user_reviews_extended"] = acc
                 if self.extract_email and is_website_valid_for_email(entry["web_site"]):
                     heapq.heappush(
                         heap,

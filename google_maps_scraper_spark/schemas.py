@@ -38,6 +38,7 @@ __all__ = [
     "KIND_SEARCH",
     "KIND_PLACE",
     "KIND_EMAIL",
+    "KIND_REVIEWS",
     "STATUS_NEW",
     "STATUS_QUEUED",
     "STATUS_DONE",
@@ -51,6 +52,10 @@ PRIORITY_LOW = 3    # search (SERP) jobs, gmaps/job.go:58
 KIND_SEARCH = "search"
 KIND_PLACE = "place"
 KIND_EMAIL = "email"
+# Engine-new kind: the reference fetches review-RPC pages inside PlaceJob's
+# browser loop (gmaps/reviews.go:46-97); with stored pages the chain becomes
+# frontier jobs, one per RPC page, the accumulated reviews riding in payload.
+KIND_REVIEWS = "reviews"
 
 STATUS_NEW = "new"
 STATUS_QUEUED = "queued"
@@ -202,7 +207,12 @@ EMAILS_EXTRACT_SCHEMA = T.ArrayType(T.StringType())
 DISPATCH_SCHEMA = T.StructType([
     T.StructField("links", T.ArrayType(T.StringType()), True),   # search
     T.StructField("direct", T.BooleanType(), True),              # search: direct /maps/place/ URL
-    T.StructField("entry", ENTRY_EXTRACT_SCHEMA, True),          # place
+    T.StructField("entry", ENTRY_EXTRACT_SCHEMA, True),          # place / final reviews page
     T.StructField("email", EMAIL_FINALIZE_SCHEMA, True),         # email
+    # reviews chain continuation: next RPC page URL + accumulated state
+    T.StructField("reviews_next", T.StructType([
+        T.StructField("url", T.StringType(), True),
+        T.StructField("payload", T.StringType(), True),
+    ]), True),
     T.StructField("new_status", T.StringType(), False),
 ])

@@ -177,6 +177,35 @@ _HOST_POOL = [
 ]
 
 
+def _review_rpc_element(r: dict) -> list:
+    """One review element in the RPC page shape (same positional layout the
+    inline d[175][9][0][0] items use — gmaps/entry.go:544-630 paths)."""
+    el: list = []
+    set_path(el, [0], r["review_id"])
+    set_path(el, [1, 2], r["posted_micros"])
+    set_path(el, [1, 3], r["posted_micros"])
+    set_path(el, [1, 4, 2, 0], r["author_url"])
+    set_path(el, [1, 4, 5, 0], r["author"])
+    set_path(el, [1, 4, 5, 1], r["profile_pic"])
+    set_path(el, [1, 6], r["when"])
+    set_path(el, [1, 13, 0], "Google")
+    set_path(el, [1, 13, 4], 5)
+    set_path(el, [2, 0, 0], r["rating"])
+    set_path(el, [2, 14, 0], "en")
+    set_path(el, [2, 15, 0, 0], r["text"])
+    return [el]
+
+
+def _review_rpc_page(reviews: list[dict], next_token: str) -> str:
+    """RPC body: ``)]}'\n`` + [j0, next_token, [elements]]
+    (token at jd[1], reviews at jd[2] — gmaps/entry.go:330-357,
+    gmaps/reviews.go:281-303)."""
+    from ..extract.gojson import go_json_dumps
+
+    jd = [None, next_token or None, [_review_rpc_element(r) for r in reviews]]
+    return ")]}'\n" + go_json_dumps(jd)
+
+
 def generate_corpus(
     n_seeds: int = 3,
     places_per_serp: int = 10,
@@ -184,6 +213,7 @@ def generate_corpus(
     email_fraction: float = 0.6,
     malformed_fraction: float = 0.05,
     skew_host_fraction: float = 0.5,
+    extra_review_pages: int = 0,
     seed: int = 42,
 ) -> SyntheticCorpus:
     """Build a corpus where each seed query resolves to one SERP page whose
@@ -293,6 +323,36 @@ def generate_corpus(
                               "</script></html>")
             else:
                 add_page(url, _place_html(meta))
+                if extra_review_pages > 0:
+                    # review-RPC chain keyed exactly as the engine/oracle
+                    # build the listugcposts URLs (deterministic request id)
+                    from ..extract.urls import build_review_rpc_url
+
+                    n_pages = rng.randint(1, extra_review_pages)
+                    ext_reviews = [
+                        {
+                            "review_id": f"xrev-{pid}-{k}-{i}",
+                            "posted_micros": 1710000000000000
+                            + rng.randint(0, 10**12),
+                            "author_url": f"https://www.google.com/maps/contrib/1{rng.randint(10**19, 10**20 - 1)}",
+                            "author": f"XReviewer {pid}-{k}-{i}",
+                            "profile_pic": f"https://lh3.example.com/x/{pid}-{k}-{i}=w36",
+                            "when": f"{i + 1} weeks ago",
+                            "rating": rng.randint(1, 5),
+                            "text": f"Extended review {k}/{i} of {name}.",
+                        }
+                        for k in range(n_pages)
+                        for i in range(3)
+                    ]
+                    meta["extra_reviews"] = ext_reviews
+                    per_page = 3
+                    token = ""
+                    for k in range(n_pages):
+                        page_revs = ext_reviews[k * per_page:(k + 1) * per_page]
+                        nxt = f"tok-{pid}-{k + 1}" if k + 1 < n_pages else ""
+                        rpc_url = build_review_rpc_url(url, token, 20, "0" * 21)
+                        add_page(rpc_url, _review_rpc_page(page_revs, nxt))
+                        token = nxt
             # website page (only for non-social, real sites)
             if website and not social:
                 e1 = f"info@{website.split('/')[2]}"

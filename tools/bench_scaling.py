@@ -8,9 +8,12 @@ reporting throughput at both plus efficiency:
 
     eff = (throughput_4N / throughput_N) / (4N / N)
 
+Each level runs in its OWN subprocess: PySpark keeps one JVM per Python
+process, so back-to-back sessions in-process would share a heap polluted by
+the previous level's block-manager state (measurably skews the second run).
+
 Usage: python tools/bench_scaling.py [n_seeds] [places_per_serp]
-Writes/updates the scaling table printed on stdout (markdown) and emits one
-JSON line (machine-readable) on the last line.
+Prints a markdown table and one machine-readable JSON line (last line).
 """
 
 from __future__ import annotations
@@ -18,24 +21,27 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
 os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")  # local mode: one JVM holds storage
 
-N_SEEDS = int(sys.argv[1]) if len(sys.argv) > 1 else 120
-PER_SERP = int(sys.argv[2]) if len(sys.argv) > 2 else 40
 LEVELS = (8, 32)
 
 
-def run_at(cpus: int, pages_path: str, workroot: str, seeds: list) -> dict:
+def run_level(cpus: int, pages_path: str, workroot: str, seeds_path: str) -> None:
+    """Subprocess entry: run the crawl at one parallelism level, print JSON."""
     from google_maps_scraper_spark.plans.crawl import CrawlConfig, CrawlEngine
     from google_maps_scraper_spark.session import get_spark
 
+    seeds = [tuple(s) for s in json.load(open(seeds_path))]
     spark = get_spark(
         app_name=f"gms-scaling-{cpus}",
         master=f"local[{cpus}]",
@@ -49,7 +55,12 @@ def run_at(cpus: int, pages_path: str, workroot: str, seeds: list) -> dict:
     t0 = time.perf_counter()
     eng = CrawlEngine(
         spark, pages, wd,
-        CrawlConfig(extract_email=True, max_rounds=16, checkpoint_every=100),
+        CrawlConfig(
+            extract_email=True, max_rounds=16, checkpoint_every=100,
+            # claims stay broadcast-side up to 1M rows: a ~300 MB broadcast
+            # beats shuffling the (html-bearing) pages table
+            broadcast_claim_rows=1_000_000,
+        ),
     )
     eng.seed_from_queries(seeds)
     counters = eng.run()
@@ -61,7 +72,7 @@ def run_at(cpus: int, pages_path: str, workroot: str, seeds: list) -> dict:
         v for k, v in counters.items()
         if isinstance(v, int) and k.endswith(("_done", "_failed", "_new"))
     )
-    return {
+    print("LEVEL_RESULT " + json.dumps({
         "cpus": cpus,
         "elapsed_sec": round(elapsed, 2),
         "results": extracted,
@@ -69,10 +80,13 @@ def run_at(cpus: int, pages_path: str, workroot: str, seeds: list) -> dict:
         "pages_extracted_per_sec": round(extracted / elapsed, 2),
         "frontier_urls_scheduled_per_sec": round(scheduled / elapsed, 2),
         "counters": {k: v for k, v in counters.items() if isinstance(v, int)},
-    }
+    }))
 
 
 def main() -> None:
+    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 120
+    per_serp = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+
     from google_maps_scraper_spark.session import get_spark
     from google_maps_scraper_spark.sources.corpus import generate_corpus_spark
 
@@ -81,12 +95,34 @@ def main() -> None:
     spark = get_spark(app_name="gms-scaling-gen", master="local[32]",
                       shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
-    pages, seeds = generate_corpus_spark(spark, N_SEEDS, PER_SERP)
+    pages, seeds = generate_corpus_spark(spark, n_seeds, per_serp)
     pages.write.mode("overwrite").parquet(pages_path)
     n_pages = spark.read.parquet(pages_path).count()
     spark.stop()
+    seeds_path = os.path.join(workroot, "seeds.json")
+    json.dump(seeds, open(seeds_path, "w"))
 
-    runs = [run_at(c, pages_path, workroot, seeds) for c in LEVELS]
+    # Snapshot the engine code: level subprocesses import from the copy, so
+    # concurrent edits to the working tree cannot corrupt an in-flight run.
+    snap = os.path.join(workroot, "snap")
+    os.makedirs(snap)
+    shutil.copytree(os.path.join(REPO, "google_maps_scraper_spark"),
+                    os.path.join(snap, "google_maps_scraper_spark"))
+    shutil.copytree(os.path.join(REPO, "tools"), os.path.join(snap, "tools"))
+
+    runs = []
+    for cpus in LEVELS:
+        out = subprocess.run(
+            [sys.executable, os.path.join(snap, "tools", "bench_scaling.py"),
+             "--run-level", str(cpus), pages_path, workroot, seeds_path],
+            capture_output=True, text=True, cwd=snap,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("LEVEL_RESULT ")]
+        if not line:
+            sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
+            raise RuntimeError(f"level {cpus} failed")
+        runs.append(json.loads(line[-1].removeprefix("LEVEL_RESULT ")))
+
     lo, hi = runs[0], runs[-1]
     ratio = hi["cpus"] / lo["cpus"]
     eff_extract = (hi["pages_extracted_per_sec"] / lo["pages_extracted_per_sec"]) / ratio
@@ -94,7 +130,7 @@ def main() -> None:
         hi["frontier_urls_scheduled_per_sec"] / lo["frontier_urls_scheduled_per_sec"]
     ) / ratio
 
-    print(f"\ncorpus: {n_pages} pages ({N_SEEDS} seeds x {PER_SERP} places/serp)\n")
+    print(f"\ncorpus: {n_pages} pages ({n_seeds} seeds x {per_serp} places/serp)\n")
     print("| cores | elapsed s | results | pages-extracted/s | frontier-URLs-scheduled/s |")
     print("|---|---|---|---|---|")
     for r in runs:
@@ -115,4 +151,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--run-level":
+        run_level(int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5])
+    else:
+        main()
