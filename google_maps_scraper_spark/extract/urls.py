@@ -29,6 +29,7 @@ __all__ = [
     "decode_url",
     "extract_place_id",
     "extract_next_page_token",
+    "build_fast_search_url",
     "build_review_rpc_url",
     "parse_query_line",
     "canonical_url_hash",
@@ -240,6 +241,33 @@ def build_review_rpc_url(map_url: str, page_token: str, page_size: int, request_
         "!12m4!1b1!2b1!4m1!1e1!11m0!13m1!1e1"
     )
     return f"https://www.google.com/maps/rpc/listugcposts?authuser=0&hl=en&pb={pb}"
+
+
+def build_fast_search_url(
+    query: str,
+    lat: float = 0.0,
+    lon: float = 0.0,
+    zoom: float = 15.0,
+    hl: str = "en",
+) -> str:
+    """Fast-mode SERP request URL (gmaps/searchjob.go:43,146-170): the
+    ``maps.google.com/search`` endpoint with ``tbm=map`` and the positional
+    ``pb`` protobuf-string carrying lon/lat/viewport/zoom.  Params render in
+    Go ``url.Values.Encode()`` order (sorted keys, QueryEscape values)."""
+    pb = (
+        "!4m12!1m3!1d3826.902183192154"
+        f"!2d{lon:.4f}!3d{lat:.4f}"
+        "!2m3!1f0!2f0!3f0!3m2!1i600!2i800"
+        f"!4f{zoom:.1f}!7i20!8i0"
+        "!10b1!12m22!1m3!18b1!30b1!34e1!2m3!5m1!6e2!20e3!4b0!10b1!12b1!13b1"
+        "!16b1!17m1!3e1!20m3!5e2!6b1!14b1!46m1!1b0"
+        "!96b1!19m4!2m3!1i360!2i120!4i8"
+    )
+    params = {"tbm": "map", "authuser": "0", "hl": hl, "q": query, "pb": pb}
+    encoded = "&".join(
+        f"{k}={urllib.parse.quote_plus(params[k])}" for k in sorted(params)
+    )
+    return f"https://maps.google.com/search?{encoded}"
 
 
 def parse_query_line(line: str) -> tuple[str, str] | None:

@@ -33,6 +33,7 @@ __all__ = [
     "SyntheticCorpus",
     "generate_corpus",
     "generate_corpus_spark",
+    "generate_fast_corpus",
     "set_path",
 ]
 
@@ -375,6 +376,91 @@ def generate_corpus(
 
     # robots deny-list: block one host's /private prefix (engine-new feature)
     c.robots.append({"host": _HOST_POOL[0], "path_prefix": "/private", "allowed": False})
+    return c
+
+
+def _fast_business(meta: dict) -> list:
+    """Business array at item[14] (gmaps/multiple.go field paths)."""
+    b: list = []
+    set_path(b, [0], meta["input_id"])
+    set_path(b, [11], meta["title"])
+    set_path(b, [13], list(meta["categories"]))
+    set_path(b, [7, 0], meta["website_raw"])
+    set_path(b, [4, 7], meta["rating"])
+    set_path(b, [4, 8], meta["review_count"])
+    # address parts joined ", " by the parser
+    set_path(b, [2], [meta["street"], meta["city"]])
+    set_path(b, [9, 2], meta["lat"])
+    set_path(b, [9, 3], meta["lon"])
+    set_path(b, [178, 0, 0], meta["phone"])
+    set_path(b, [34, 4, 4], meta["status"])
+    hours_items = [[day, [slot]] for day, slot in meta["hours"]]
+    set_path(b, [34, 1], hours_items)
+    set_path(b, [30], meta["timezone"])
+    set_path(b, [10], meta["data_id"])
+    return b
+
+
+def generate_fast_corpus(
+    n_seeds: int = 3,
+    businesses_per_query: int = 15,
+    center_lat: float = 37.9838,
+    center_lon: float = 23.7275,
+    zoom: float = 15.0,
+    lang: str = "en",
+    outside_fraction: float = 0.3,
+    seed: int = 42,
+) -> SyntheticCorpus:
+    """Fast-mode corpus: one ``tbm=map`` payload page per query
+    (first line junk + JSON, businesses at data[0][1][1:][14] —
+    gmaps/searchjob.go:97-144, multiple.go:11-81).  ``outside_fraction`` of
+    businesses land well outside a 10 km radius to exercise the haversine
+    filter (entry.go:1013-1047)."""
+    from ..extract.gojson import go_json_dumps
+    from ..extract.urls import build_fast_search_url
+
+    rng = random.Random(seed)
+    c = SyntheticCorpus()
+    ts = _EPOCH
+    for sidx in range(n_seeds):
+        city, country, tz, _, _ = _CITIES[sidx % len(_CITIES)]
+        cat = _CATEGORIES[sidx % len(_CATEGORIES)]
+        query = f"{cat.lower()} near {city.lower()} {sidx:03d}"
+        custom_id = f"fseed-{sidx:03d}" if sidx % 2 == 0 else ""
+        c.seeds.append({"line_no": sidx, "query": query, "custom_id": custom_id})
+
+        items: list = [["header"]]
+        for p in range(businesses_per_query):
+            far = rng.random() < outside_fraction
+            dlat = rng.uniform(0.2, 0.5) if far else rng.uniform(-0.03, 0.03)
+            dlon = rng.uniform(0.2, 0.5) if far else rng.uniform(-0.03, 0.03)
+            meta = {
+                "input_id": f"0x{sidx:04x}:0x{p:04x}",
+                "title": f"{cat} {city} fast {sidx:03d}-{p:03d}",
+                "categories": [cat],
+                "website_raw": f"https://{_HOST_POOL[p % len(_HOST_POOL)]}/f/{sidx}-{p}",
+                "rating": round(rng.uniform(3.0, 5.0), 1),
+                "review_count": rng.randint(1, 500),
+                "street": f"{p + 1} Fast St",
+                "city": city,
+                "lat": round(center_lat + dlat, 7),
+                "lon": round(center_lon + dlon, 7),
+                "phone": f"+30 69{rng.randint(10000000, 99999999)}",
+                "status": rng.choice(["Open", "Closed"]),
+                "hours": [(d, "9 am–5 pm") for d in _DAYS[:5]],
+                "timezone": tz,
+                "data_id": f"0x{sidx:08x}:0x{p:08x}",
+            }
+            item: list = []
+            set_path(item, [14], _fast_business(meta))
+            items.append(item)
+        payload = [[None, items]]
+        body = ")]}'\n" + go_json_dumps(payload)
+        url = build_fast_search_url(query, center_lat, center_lon, zoom, lang)
+        ts += dt.timedelta(seconds=1)
+        c.pages.append({
+            "url": url, "warc_ts": ts, "html": body.encode(), "text": "", "lang": lang,
+        })
     return c
 
 
