@@ -395,6 +395,86 @@ def tpch_q3_shipping(spark, sf):
     )
 
 
+@_q(
+    "tpch_q5_local_revenue",
+    """
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_local_revenue(spark, sf):
+    """Q5 shape: two fact joins + three broadcast dims + co-nation predicate.
+    supplier/nation/region broadcast; customer⋈orders⋈lineitem shuffle on
+    keys with AQE."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    su = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(su),
+            (li.l_suppkey == su.s_suppkey) & (su.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "tpch_q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total_r, qty
+    FROM (
+      SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+             SUM(l_quantity) AS qty
+      FROM orders o JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice
+      HAVING SUM(l_quantity) > 150
+    ) big JOIN customer ON c_custkey = big.o_custkey
+    ORDER BY total_r DESC, o_orderkey ASC LIMIT 20
+    """,
+)
+def tpch_q18_large_orders(spark, sf):
+    """Q18 shape: aggregate-then-filter (HAVING) + join + top-k — the
+    aggregation is partial-aggregatable, the final sort is a 20-row
+    TakeOrdered, never a global sort."""
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    c = load(spark, sf, "customer")
+    big = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+    )
+    return (
+        big.join(c, c.c_custkey == big.o_custkey)
+        .select(
+            "c_custkey", "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_r"), "qty",
+        )
+        .orderBy(F.col("total_r").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
 # =============================================================================
 # Training-data pipeline: text analysis & dedup over `documents`
 # =============================================================================

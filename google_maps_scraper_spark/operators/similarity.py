@@ -116,3 +116,78 @@ def emb_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count("*").alias("n"), F.round(F.avg("dim"), 1).alias("avg_dim"))
     )
+
+
+@_register(
+    "emb_cosine_topk_r3",
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding, q.qe), 3) AS cos_sim_r3
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim_r3 DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def emb_cosine_topk_r3(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-10 with 3-dp rounding — value-checkable across
+    engines (float32 inputs make 3 dp stable; ties break on vec_id)."""
+    emb = load(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    query = [float(x) for x in qrow["embedding"]]
+    q = F.array(*[F.lit(float(v)) for v in query])
+    dot = _dot(F.col("embedding"), q)
+    norm_a = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    norm_q = float(sum(v * v for v in query)) ** 0.5
+    cos = dot / (norm_a * F.lit(norm_q))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(cos, 3).alias("cos_sim_r3"))
+        .orderBy(F.col("cos_sim_r3").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@_register(
+    "emb_neardup_pairs",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.embedding, b.embedding), 3) AS cos_r3
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 3) >= 0.4
+    """,
+)
+def emb_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs at test scale;
+    the LSH bucket path below is the 10^10-row pruning strategy).  The
+    self-join condition ``vec_id < vec_id`` halves the pair space; AQE
+    handles the join strategy."""
+    emb = load(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    dot = _dot(F.col("ea"), F.col("eb"))
+    na = F.sqrt(_dot(F.col("ea"), F.col("ea")))
+    nb = F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    cos = F.round(dot / (na * nb), 3)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_r3"))
+        .filter(F.col("cos_r3") >= 0.4)
+    )
+
+
+@_register("emb_lsh_ann_topk")
+def emb_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN top-10 for vec_id=0 via LSH pruning: candidates share the query's
+    bucket or any Hamming-1 neighbor bucket, then exact cosine rerank.
+    Rows-only check (bucket pruning is approximate by design); recall vs the
+    brute-force baseline is asserted in tests/test_dedup_similarity.py."""
+    emb = lsh_signature(load(spark, sf, "embeddings"))
+    emb = emb.localCheckpoint(eager=True)  # signature computed once
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding", "lsh_bucket").head()
+    query = [float(x) for x in qrow["embedding"]]
+    qb = int(qrow["lsh_bucket"])
+    buckets = [qb] + [qb ^ (1 << p) for p in range(N_PLANES)]
+    cand = emb.filter(F.col("lsh_bucket").isin(buckets) & (F.col("vec_id") != 0))
+    return cosine_topk(cand, query, k=10)

@@ -71,6 +71,11 @@ class CrawlConfig:
     extra_reviews: bool = False          # ≙ -extra-reviews (gmaps/place.go:180-202)
     max_depth: int = 10                  # ≙ -depth default, runner/runner.go:111
     max_rounds: int = 64
+    # NB retry semantics: the reference requeues failed jobs up to
+    # max_retries (gmaps/job.go:57); with an immutable stored-pages corpus a
+    # retry deterministically fails again, so this engine marks fetch misses
+    # failed terminally — same final state, fewer rounds.  The retries
+    # columns stay in the frontier schema for a live-fetch backend.
     now_micros: int = 1786838400000000   # pinned clock (determinism)
     host_budget: int | None = None       # per-eTLD+1 per-round claim budget
     politeness_salts: int = 4            # salt shards per host bucket
@@ -85,6 +90,16 @@ class CrawlConfig:
     # claims up to this many rows broadcast into the pages join (the huge
     # pages table is then never shuffled); larger claims fall back to a
     # shuffle join, where AQE picks the physical strategy.
+    seen_bloom: bool = False
+    # opt-in Bloom accelerator in front of the exact seen anti-join: a
+    # broadcast filter (per-partition shards, treeReduce-merged, maintained
+    # incrementally from each round's admissions) marks candidates
+    # might-be-seen; only those touch the exact set.  Wins when the seen
+    # table is huge relative to per-round candidates.  Decisions stay exact:
+    # false positives fall through to the anti-join, false negatives are
+    # impossible.
+    bloom_capacity: int = 1_000_000      # expected distinct URLs (sizes m,k)
+    bloom_fpp: float = 0.01
 
 
 def _jid(*cols):
@@ -107,6 +122,12 @@ class CrawlEngine:
         self.cfg = config or CrawlConfig()
         self.round = 0
         self._cum_claimed = 0
+        self._bloom = None
+        if (config or CrawlConfig()).seen_bloom:
+            from ..operators.bloom import BloomFilter
+
+            c = config or CrawlConfig()
+            self._bloom = BloomFilter.sized(c.bloom_capacity, c.bloom_fpp)
         self._frontier: DataFrame | None = None
         self._seen: DataFrame | None = None
         self._results: DataFrame | None = None
@@ -242,10 +263,16 @@ class CrawlEngine:
         self._frontier = self.spark.read.schema(FRONTIER_SCHEMA).parquet(str(rd / "frontier"))
         self._seen = self.spark.read.schema(SEEN_SCHEMA).parquet(str(rd / "seen"))
         self._results = self.spark.read.schema(RESULT_SCHEMA).parquet(str(rd / "results"))
+        if self._bloom is not None:
+            (rd / "bloom.bin").write_bytes(self._bloom.to_bytes())
         manifest = {
             "round": self.round,
             "counters": self.counters(),
             "tables": {n: str(rd / n) for n in ("frontier", "seen", "results")},
+            "bloom": (
+                {"m_bits": self._bloom.m_bits, "k": self._bloom.k}
+                if self._bloom is not None else None
+            ),
         }
         (rd / "manifest.json").write_text(json.dumps(manifest, indent=2))
         (self.workdir / "LATEST").write_text(str(self.round))
@@ -269,6 +296,13 @@ class CrawlEngine:
         eng._frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(str(rd / "frontier"))
         eng._seen = spark.read.schema(SEEN_SCHEMA).parquet(str(rd / "seen"))
         eng._results = spark.read.schema(RESULT_SCHEMA).parquet(str(rd / "results"))
+        if manifest.get("bloom") and (rd / "bloom.bin").exists():
+            from ..operators.bloom import BloomFilter
+
+            b = manifest["bloom"]
+            eng._bloom = BloomFilter(
+                b["m_bits"], b["k"], (rd / "bloom.bin").read_bytes()
+            )
         return eng
 
     # ---------------- round ---------------------------------------------------
@@ -329,43 +363,83 @@ class CrawlEngine:
         cfg = self.cfg
         claimed, denied = self._claim()
         claimed = claimed.coalesce(self._state_partitions()).localCheckpoint(eager=True)
-        n_claimed = claimed.count()
+        _c = claimed.agg(
+            F.count("*").alias("n"), F.count("payload").alias("n_payload")
+        ).head()
+        n_claimed, n_payload = _c["n"], _c["n_payload"]
         if n_claimed == 0:
             self.round -= 1
             return {"claimed": 0, "done": True}
         self._cum_claimed += n_claimed
 
-        # Fetch = two-step join keyed narrow:
-        #   1. broadcast ONLY (job_id, url) into the pages scan — the probe
-        #      stays a few MB even when email claims carry multi-KB entry
-        #      payloads (broadcasting payload-bearing claims measurably
-        #      thrashed every scan task with a multi-hundred-MB relation);
-        #   2. shuffle-join the fetched html back to the full claim rows on
-        #      job_id — both sides are claim-sized, so this parallelizes and
-        #      never touches the pages table again.
-        # A left join makes fetch misses plain html-null rows (≙ the
-        # fetch-error path: jobs still Process — job.go:114-116,
-        # place.go:68-70, emailjob.go:100-102), so ONE dispatch pass covers
-        # hits and misses alike.
+        # Fetch + dispatch, shaped to keep html out of every shuffle:
+        #
+        #   payload-free claims (search/place/reviews): broadcast the SLIM
+        #   claim columns straight into the pages scan and run the dispatch
+        #   UDF in the scan stage — the html column is born and dies inside
+        #   one stage, never shuffled, never checkpointed.
+        #
+        #   payload-bearing claims (email jobs carry multi-KB parked
+        #   entries): broadcast only (job_id, url) keys (broadcasting
+        #   payloads measurably thrashed every scan task), then shuffle-join
+        #   the fetched html back to the claim rows — both sides claim-sized.
+        #
+        # Fetch misses are recovered afterwards with an anti-join and a lazy
+        # dispatch over html-null rows (≙ the fetch-error path: jobs still
+        # Process — job.go:114-116, place.go:68-70, emailjob.go:100-102).
         pages = self.pages.select("url", "html")
-        keys = claimed.select("job_id", "url")
-        probe = (
-            F.broadcast(keys) if n_claimed <= cfg.broadcast_claim_rows else keys
-        )
-        got = pages.join(probe, "url", "inner").select("job_id", "html")
-        fetched = claimed.join(got, "job_id", "left")
         now = F.lit(cfg.now_micros).cast("long")
-        processed_all = (
-            fetched.withColumn(
-                "p",
-                dispatch_udf(
-                    "kind", "html", "payload", "seed_id", "url", now,
-                    F.lit(cfg.extra_reviews),
-                ),
-            )
-            .drop("html")
-            .localCheckpoint(eager=True)
+        xr = F.lit(cfg.extra_reviews)
+        slim_cols = [
+            "job_id", "kind", "url", "seed_id", "created_path",
+            "depth", "max_depth", "extract_email", "lang",
+        ]
+        small = n_claimed <= cfg.broadcast_claim_rows
+
+        def bcast(df):
+            return F.broadcast(df) if small else df
+
+        def dispatch(df):
+            return df.withColumn(
+                "p", dispatch_udf("kind", "html", "payload", "seed_id", "url", now, xr)
+            ).drop("html")
+
+        claim_np = claimed.filter(F.col("payload").isNull()).select(
+            *slim_cols, F.lit(None).cast("string").alias("payload")
         )
+        claim_p = claimed.filter(F.col("payload").isNotNull()).select(
+            *slim_cols, "payload"
+        )
+
+        # build only the non-empty branches — each live branch costs one full
+        # pages scan, and rounds are usually kind-homogeneous
+        parts = []
+        if n_claimed - n_payload > 0:
+            parts.append(dispatch(pages.join(bcast(claim_np), "url", "inner")))
+        if n_payload > 0:
+            got = pages.join(
+                bcast(claim_p.select("job_id", "url")), "url", "inner"
+            ).select("job_id", "html")
+            parts.append(dispatch(claim_p.join(got, "job_id", "inner")))
+        processed = parts[0]
+        for extra in parts[1:]:
+            processed = processed.unionByName(extra.select(processed.columns))
+        processed = processed.localCheckpoint(eager=True)
+
+        # fetch misses are rare: detect them by count (claimed is known,
+        # processed is checkpointed → metadata-cheap) and only then pay for
+        # the anti-join + dispatch; otherwise downstream consumers read the
+        # checkpointed `processed` with no lazy union re-evaluation.
+        n_missing = n_claimed - processed.count()
+        if n_missing > 0:
+            slim_all = claim_np.unionByName(claim_p)
+            missing = dispatch(
+                slim_all.join(processed.select("job_id"), "job_id", "left_anti")
+                .withColumn("html", F.lit(None).cast("binary"))
+            ).localCheckpoint(eager=True)
+            processed_all = processed.unionByName(missing.select(processed.columns))
+        else:
+            processed_all = processed
 
         # --- search: feed links → admission → place children -----------------
         search = processed_all.filter(F.col("kind") == KIND_SEARCH)
@@ -382,15 +456,39 @@ class CrawlEngine:
         # order across SERPs); then exact left-anti vs the seen table.
         w_first = Window.partitionBy("child_url").orderBy("created_path", "pos")
         dd = place_children.filter("dedup")
-        admitted_new = (
+        dd_first = (
             dd.withColumn("_rn", F.row_number().over(w_first))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
-            .join(
-                self._seen.select(F.col("url").alias("child_url")),
-                "child_url",
-                "left_anti",
+        )
+
+        # Bloom pre-filter (optional): definite-new candidates skip the exact
+        # set entirely; only might-be-seen ones proceed.
+        if cfg.seen_bloom and self._bloom is not None:
+            from ..operators.bloom import bloom_might_contain_udf
+
+            mc = bloom_might_contain_udf(self.spark, self._bloom)
+            flagged = dd_first.withColumn("_maybe", mc("child_url"))
+            definite_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
+            maybes = flagged.filter(F.col("_maybe")).drop("_maybe")
+        else:
+            definite_new, maybes = None, dd_first
+
+        seen_keys = self._seen.select(F.col("url").alias("child_url"))
+        if n_claimed <= cfg.broadcast_claim_rows:
+            # scan-probe: the seen table is SCANNED with a broadcast semi-probe
+            # of the (budget-bounded) candidates and never shuffled — at
+            # 10^10-row seen scale the anti-join's shuffle of seen is the
+            # bottleneck this kills.
+            hits = seen_keys.join(
+                F.broadcast(maybes.select("child_url")), "child_url", "left_semi"
             )
+            confirmed_new = maybes.join(F.broadcast(hits), "child_url", "left_anti")
+        else:
+            confirmed_new = maybes.join(seen_keys, "child_url", "left_anti")
+        admitted_new = (
+            confirmed_new if definite_new is None
+            else confirmed_new.unionByName(definite_new)
         )
         admitted = admitted_new.unionByName(place_children.filter(~F.col("dedup")))
 
@@ -560,6 +658,12 @@ class CrawlEngine:
 
         self._frontier = updated_frontier
         self._seen = self._seen.unionByName(new_seen)
+        if cfg.seen_bloom and self._bloom is not None:
+            from ..operators.bloom import build_bloom
+
+            self._bloom.merge(
+                build_bloom(new_seen.select("url"), "url", proto=self._bloom)
+            )
         self._results = self._results.unionByName(
             results_now.unionByName(email_results)
         )
@@ -613,4 +717,12 @@ class CrawlEngine:
         from ..operators.csv_sink import write_results_csv
 
         write_results_csv(self._results, path)
+
+    def write_results(self, path: str, fmt: str = "csv") -> None:
+        """Write through a registered result writer (csv/json/parquet or a
+        plugin registered via operators.sinks.register_writer — the
+        ResultWriter surface, runner/jobs.go:267-303)."""
+        from ..operators.sinks import write_results
+
+        write_results(self._results, path, fmt)
 

@@ -39,9 +39,29 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Throughput collector: at high task parallelism over multi-KB string
+        # payloads, G1's concurrent cycles collapsed (32-core runs burned 10×
+        # the JVM CPU of 8-core runs in GC); ParallelGC restored linear
+        # scaling for this batch workload.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GC_OPTS", "-XX:+UseParallelGC"),
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            os.environ.get("SPARK_GC_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # Off-heap block storage (set SPARK_OFFHEAP_SIZE, e.g. "64g"): keeps the
+    # per-round materialized state out of the GC's way — at 32-way
+    # parallelism over multi-KB rows this halved end-to-end crawl wall time.
+    offheap = os.environ.get("SPARK_OFFHEAP_SIZE")
+    if offheap:
+        builder = builder.config("spark.memory.offHeap.enabled", "true").config(
+            "spark.memory.offHeap.size", offheap
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

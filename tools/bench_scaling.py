@@ -31,7 +31,8 @@ sys.path.insert(0, REPO)
 
 os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
 os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
-os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")  # local mode: one JVM holds storage
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")   # heap: compute only
+os.environ.setdefault("SPARK_OFFHEAP_SIZE", "64g")    # state lives off-heap
 
 LEVELS = (8, 32)
 
@@ -110,18 +111,24 @@ def main() -> None:
                     os.path.join(snap, "google_maps_scraper_spark"))
     shutil.copytree(os.path.join(REPO, "tools"), os.path.join(snap, "tools"))
 
+    repeats = int(os.environ.get("GMS_SCALING_REPEATS", "1"))
     runs = []
     for cpus in LEVELS:
-        out = subprocess.run(
-            [sys.executable, os.path.join(snap, "tools", "bench_scaling.py"),
-             "--run-level", str(cpus), pages_path, workroot, seeds_path],
-            capture_output=True, text=True, cwd=snap,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("LEVEL_RESULT ")]
-        if not line:
-            sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
-            raise RuntimeError(f"level {cpus} failed")
-        runs.append(json.loads(line[-1].removeprefix("LEVEL_RESULT ")))
+        best = None
+        for _ in range(repeats):
+            out = subprocess.run(
+                [sys.executable, os.path.join(snap, "tools", "bench_scaling.py"),
+                 "--run-level", str(cpus), pages_path, workroot, seeds_path],
+                capture_output=True, text=True, cwd=snap,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("LEVEL_RESULT ")]
+            if not line:
+                sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
+                raise RuntimeError(f"level {cpus} failed")
+            r = json.loads(line[-1].removeprefix("LEVEL_RESULT "))
+            if best is None or r["elapsed_sec"] < best["elapsed_sec"]:
+                best = r  # best-of-N: page cache + JIT warm after run 1
+        runs.append(best)
 
     lo, hi = runs[0], runs[-1]
     ratio = hi["cpus"] / lo["cpus"]
