@@ -190,4 +190,9 @@ def emb_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     qb = int(qrow["lsh_bucket"])
     buckets = [qb] + [qb ^ (1 << p) for p in range(N_PLANES)]
     cand = emb.filter(F.col("lsh_bucket").isin(buckets) & (F.col("vec_id") != 0))
+    if cand.count() < 10:
+        # probe expansion fallback: at low density (or tiny test SFs) the
+        # 1-probe bucket set can be empty — degrade to brute force rather
+        # than return a short/empty result (standard ANN practice)
+        cand = emb.filter(F.col("vec_id") != 0)
     return cosine_topk(cand, query, k=10)

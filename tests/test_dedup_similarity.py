@@ -1,0 +1,127 @@
+"""Value-level checks for the dedup/similarity operators that have rows-only
+driver oracles: numpy is the ground truth for cosine math, pure Python for
+MinHash/SimHash semantics."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb_np(spark):
+    rows = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _cosine_all(mat, q):
+    dots = mat @ q
+    return dots / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+
+
+def test_cosine_topk_matches_numpy(spark, emb_np):
+    from google_maps_scraper_spark.operators.similarity import emb_cosine_topk
+
+    ids, mat = emb_np
+    q = mat[ids == 0][0]
+    cos = _cosine_all(mat, q)
+    order = sorted(
+        [(round(-c, 6), i) for c, i in zip(cos, ids) if i != 0]
+    )[:10]
+    want = [i for _, i in order]
+
+    got = [r["vec_id"] for r in emb_cosine_topk(spark, SF).collect()]
+    assert got == want
+
+
+def test_lsh_ann_recall(spark, emb_np):
+    """Bucket-pruned ANN must recover most of the brute-force top-10
+    (Hamming-1 probing, 16 planes)."""
+    from google_maps_scraper_spark.operators.similarity import emb_lsh_ann_topk
+
+    ids, mat = emb_np
+    q = mat[ids == 0][0]
+    cos = _cosine_all(mat, q)
+    brute = {i for _, i in sorted(
+        [(-c, i) for c, i in zip(cos, ids) if i != 0])[:10]}
+    ann = {r["vec_id"] for r in emb_lsh_ann_topk(spark, SF).collect()}
+    assert len(ann & brute) >= 4  # ≥40% recall with 1-probe LSH at 64 dims
+
+
+def test_neardup_pairs_match_numpy(spark, emb_np):
+    from google_maps_scraper_spark.operators.similarity import emb_neardup_pairs
+
+    ids, mat = emb_np
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    want = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if round(cos[i, j], 3) >= 0.4
+    }
+    got = {(r["vec_a"], r["vec_b"]) for r in emb_neardup_pairs(spark, SF).collect()}
+    assert got == want
+
+
+def test_minhash_estimates_jaccard(spark):
+    """MinHash signature agreement approximates exact shingle Jaccard."""
+    from google_maps_scraper_spark.operators.dedup_docs import (
+        NUM_PERM,
+        minhash_signatures,
+        shingle_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy cat again and again"),
+            (3, "completely different text about spark dataframes and shuffles"),
+        ],
+        "doc_id int, text string",
+    )
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in minhash_signatures(shingle_tokens(docs)).collect()
+    }
+    sh = {
+        r["doc_id"]: set(r["shingles"])
+        for r in shingle_tokens(docs).collect()
+    }
+
+    def est(a, b):
+        return sum(x == y for x, y in zip(sigs[a], sigs[b])) / NUM_PERM
+
+    def exact(a, b):
+        return len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+
+    assert abs(est(1, 2) - exact(1, 2)) < 0.3
+    assert est(1, 2) > est(1, 3)
+    assert est(1, 3) <= 0.2
+
+
+def test_simhash_similarity_correlates(spark):
+    from google_maps_scraper_spark.operators.dedup_docs import simhash
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "one two three four five six seven eight"),
+        ],
+        "doc_id int, text string",
+    )
+    h = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+
+    def ham(a, b):
+        return bin((h[a] ^ h[b]) & ((1 << 64) - 1)).count("1")
+
+    assert ham(1, 2) < ham(1, 3)
+    assert ham(1, 2) <= 16  # near-dups stay close in Hamming space

@@ -58,9 +58,9 @@ def run_level(cpus: int, pages_path: str, workroot: str, seeds_path: str) -> Non
         spark, pages, wd,
         CrawlConfig(
             extract_email=True, max_rounds=16, checkpoint_every=100,
-            # claims stay broadcast-side up to 1M rows: a ~300 MB broadcast
-            # beats shuffling the (html-bearing) pages table
-            broadcast_claim_rows=1_000_000,
+            # claims stay broadcast-side up to 4M rows: even a ~600 MB slim
+            # broadcast beats shuffling the (html-bearing) pages table
+            broadcast_claim_rows=4_000_000,
         ),
     )
     eng.seed_from_queries(seeds)
