@@ -39,7 +39,7 @@ def bench_crawl(spark, timings: dict[str, float]) -> dict[str, float]:
         generate_corpus,
     )
 
-    corpus = generate_corpus(n_seeds=24, places_per_serp=25)
+    corpus = generate_corpus(n_seeds=120, places_per_serp=60)
     pages = corpus_to_spark(spark, corpus).localCheckpoint(eager=True)
     n_pages = pages.count()  # materialize before the clock starts
 
