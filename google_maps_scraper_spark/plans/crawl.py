@@ -307,8 +307,9 @@ class CrawlEngine:
 
     # ---------------- round ---------------------------------------------------
 
-    def _claim(self) -> tuple[DataFrame, DataFrame]:
-        """Select this round's jobs.  Returns (claimed, skipped_robots)."""
+    def _claim(self) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """Select this round's jobs.
+        Returns (claimed, skipped_robots, claim_eligible_new)."""
         new = self._frontier.filter(F.col("status") == STATUS_NEW)
 
         # robots gating (engine-new): deny rows whose (host, path prefix) hits
@@ -335,19 +336,26 @@ class CrawlEngine:
             denied = None
 
         if self.cfg.host_budget is None:
-            return new, denied
+            return new, denied, new
 
         # politeness: exact per-host budget B distributed over S salt shards
-        # (shard s gets B//S + (s < B%S)); rank windows are per (host, salt)
-        # so one hot host never serializes into a single task.
+        # (shard s gets B//S plus one of the B%S remainder units); rank
+        # windows are per (host, salt) so one hot host never serializes into
+        # a single task.  The remainder units ROTATE by round number: with
+        # B < S a fixed assignment would give some shards a permanent budget
+        # of zero and starve their jobs forever (caught by
+        # tests/test_politeness.py).
         b, s = self.cfg.host_budget, self.cfg.politeness_salts
         w = Window.partitionBy("host", "politeness_bucket").orderBy(
             "priority", "created_path", "job_id"
         )
-        shard_budget = F.lit(b // s) + (F.col("politeness_bucket") < F.lit(b % s)).cast("int")
+        rotated = F.pmod(
+            F.col("politeness_bucket") + F.lit(int(self.round)), F.lit(s)
+        )
+        shard_budget = F.lit(b // s) + (rotated < F.lit(b % s)).cast("int")
         ranked = new.withColumn("_rk", F.row_number().over(w))
         claimed = ranked.filter(F.col("_rk") <= shard_budget).drop("_rk")
-        return claimed, denied
+        return claimed, denied, new
 
     def run_round(self) -> dict:
         """Execute one round; returns per-round stats.
@@ -361,13 +369,21 @@ class CrawlEngine:
         with page bodies."""
         self.round += 1
         cfg = self.cfg
-        claimed, denied = self._claim()
+        claimed, denied, eligible = self._claim()
         claimed = claimed.coalesce(self._state_partitions()).localCheckpoint(eager=True)
         _c = claimed.agg(
             F.count("*").alias("n"), F.count("payload").alias("n_payload")
         ).head()
         n_claimed, n_payload = _c["n"], _c["n_payload"]
         if n_claimed == 0:
+            # Empty claim ≠ fixpoint when budget-remainder rotation is live:
+            # with host_budget < politeness_salts a round's rotation can meet
+            # only empty shards while other shards still hold NEW jobs
+            # (starvation regression caught by tests/test_politeness.py).
+            # Consume the round number (advances the rotation) unless no
+            # claim-eligible NEW work remains at all.
+            if self.cfg.host_budget is not None and eligible.count() > 0:
+                return {"claimed": 0, "done": False, "rotation_miss": True}
             self.round -= 1
             return {"claimed": 0, "done": True}
         self._cum_claimed += n_claimed
