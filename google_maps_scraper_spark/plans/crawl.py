@@ -651,10 +651,26 @@ class CrawlEngine:
         ).unionByName(reviews_jobs.select(place_jobs.columns))
         new_children = self._stamp_url_cols(new_children)
 
+        # Status flip with retry semantics (≙ scrapemate requeue up to
+        # MaxRetries, gmaps/job.go:57): a failed job with retries left goes
+        # back to NEW with retries+1 — on a static corpus the retry fails
+        # deterministically again, so outcomes equal the reference's; robots
+        # denials (in status_of_claimed via `denied`) are terminal.
+        retryable = (
+            (F.col("new_status") == STATUS_FAILED)
+            & (F.col("retries") < F.col("max_retries"))
+        )
         updated_frontier = (
             self._frontier.join(status_of_claimed, "job_id", "left")
             .withColumn(
-                "status", F.coalesce(F.col("new_status"), F.col("status"))
+                "status",
+                F.when(retryable, F.lit(STATUS_NEW)).otherwise(
+                    F.coalesce(F.col("new_status"), F.col("status"))
+                ),
+            )
+            .withColumn(
+                "retries",
+                F.when(retryable, F.col("retries") + 1).otherwise(F.col("retries")),
             )
             .withColumn(
                 "round_claimed",

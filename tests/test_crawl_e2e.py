@@ -92,15 +92,28 @@ def test_emails_match(oracle_out, engine_out):
 
 def test_bfs_rounds(engine_out):
     eng, counters = engine_out
-    # 2-hop graph with email hop: search→place→email = 3 rounds
-    assert counters["round"] == 3
+    # 2-hop graph with email hop: search→place→email enter rounds 1/2/3;
+    # failed jobs (malformed pages) may be re-claimed in later retry rounds
+    # (≙ MaxRetries requeue, gmaps/job.go:57), so only the FIRST claim round
+    # per kind is structural.
+    assert counters["round"] >= 3
     rows = eng.frontier.select("kind", "round_claimed").collect()
     by_kind = {}
     for r in rows:
         by_kind.setdefault(r["kind"], set()).add(r["round_claimed"])
-    assert by_kind["search"] == {1}
-    assert by_kind["place"] == {2}
-    assert by_kind.get("email", {3}) == {3}
+    assert min(by_kind["search"]) == 1
+    assert min(by_kind["place"]) == 2
+    assert min(by_kind.get("email", {3})) == 3
+    # successful jobs complete at their BFS round; only failures repeat
+    done_rounds = {
+        r["kind"]: r["rc"]
+        for r in eng.frontier.filter("status = 'done'")
+        .groupBy("kind").agg({"round_claimed": "max"})
+        .withColumnRenamed("max(round_claimed)", "rc").collect()
+    }
+    assert done_rounds["search"] == 1
+    assert done_rounds["place"] == 2
+    assert done_rounds.get("email", 3) == 3
 
 
 def test_resume_equivalence(spark, corpus, tmp_path_factory, engine_out):
