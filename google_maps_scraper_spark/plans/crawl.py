@@ -31,6 +31,14 @@ Scale notes (100 TB design):
   * the html column is only referenced inside the fetch-extract stage, so
     Parquet/Iceberg column pruning keeps it out of every other scan;
   * per-round checkpointing truncates lineage and gives kill-resume.
+
+Table format: SURVEY.md §7 plans Iceberg with graceful degradation; this
+sandbox ships no Iceberg/Delta jars (checked /opt/spark/jars), so state
+tables are plain parquet snapshots per round + a JSON manifest, with
+MERGE semantics emulated by anti-join/union and atomicity by the
+write-then-flip-LATEST protocol.  Swapping the store for Iceberg tables
+(MERGE INTO frontier/seen, snapshot ids in the manifest) changes only
+``_checkpoint``/``resume``.
 """
 
 from __future__ import annotations

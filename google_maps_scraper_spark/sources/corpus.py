@@ -34,6 +34,7 @@ __all__ = [
     "generate_corpus",
     "generate_corpus_spark",
     "generate_fast_corpus",
+    "generate_grid_corpus",
     "set_path",
 ]
 
@@ -376,6 +377,80 @@ def generate_corpus(
 
     # robots deny-list: block one host's /private prefix (engine-new feature)
     c.robots.append({"host": _HOST_POOL[0], "path_prefix": "/private", "allowed": False})
+    return c
+
+
+def generate_grid_corpus(
+    queries: list[str],
+    bbox_str: str = "37.90,23.60,38.05,23.85",
+    cell_km: float = 10.0,
+    zoom: int = 15,
+    places_per_cell: int = 4,
+    seed: int = 42,
+) -> SyntheticCorpus:
+    """Grid-mode corpus: one SERP page per (query × grid cell), stored under
+    the exact ``/@lat,lon,{zoom}z`` search URL the engine builds
+    (runner/jobs.go:141-214 + gmaps/job.go:44-54), each feeding a disjoint
+    set of place pages near its cell center."""
+    from ..extract.geo import cell_geo_coordinates, generate_cells, parse_bounding_box
+
+    rng = random.Random(seed)
+    c = SyntheticCorpus()
+    ts = _EPOCH
+    bbox = parse_bounding_box(bbox_str)
+    cells = generate_cells(bbox, cell_km)
+
+    def add_page(url: str, html: str) -> None:
+        nonlocal ts
+        ts += dt.timedelta(seconds=1)
+        c.pages.append({"url": url, "warc_ts": ts, "html": html.encode(),
+                        "text": "", "lang": "en"})
+
+    for qi, query in enumerate(queries):
+        c.seeds.append({"line_no": qi, "query": query, "custom_id": f"gq{qi:02d}"})
+        for ci, (lat, lon) in enumerate(cells):
+            geo = cell_geo_coordinates(lat, lon)
+            serp_url = build_search_url(query, geo, zoom)
+            place_urls = []
+            for p in range(places_per_cell):
+                pid = f"g{qi:02d}-{ci:03d}-{p:02d}"
+                h1 = hashlib.sha256(f"ghex1-{seed}-{pid}".encode()).hexdigest()[:16]
+                h2 = hashlib.sha256(f"ghex2-{seed}-{pid}".encode()).hexdigest()[:16]
+                name = f"Grid {query.title()} {pid}"
+                url = (
+                    f"https://www.google.com/maps/place/{name.replace(' ', '+')}"
+                    f"/data=!4m2!3m1!1s0x{h1}:0x{h2}!10m1!1e1"
+                )
+                meta = {
+                    "title": name, "categories": ["Restaurant", "Food"],
+                    "address": f" {p + 1} Cell Rd, Athens {2000 + ci}",
+                    "link": url,
+                    "rating": round(rng.uniform(3.0, 5.0), 1),
+                    "review_count": rng.randint(5, 200),
+                    "price_range": "€€",
+                    "lat": round(lat + rng.uniform(-0.01, 0.01), 7),
+                    "lon": round(lon + rng.uniform(-0.01, 0.01), 7),
+                    "website_raw": "",
+                    "phone": f"+30 21{rng.randint(10000000, 99999999)}",
+                    "plus_code": f"{pid} Athens",
+                    "street": f"{p + 1} Cell Rd", "city": "Athens",
+                    "postal_code": str(2000 + ci), "country": "GR",
+                    "timezone": "Europe/Athens",
+                    "data_id": f"0x{h1}:0x{h2}",
+                    "place_id": f"ChIJ{h1}{h2}"[:27],
+                    "status": "Open",
+                    "description": "A grid-cell place.",
+                    "hours": [(d, "9 am–10 pm") for d in _DAYS],
+                    "popular_times": [],
+                    "reviews_per_rating": [1, 1, 1, 1, 1],
+                    "reviews": [],
+                    "cid": str(int(h2, 16)),
+                }
+                c.place_meta[url] = meta
+                add_page(url, _place_html(meta))
+                place_urls.append(url)
+            c.serp_to_places[serp_url] = place_urls
+            add_page(serp_url, _serp_html(place_urls))
     return c
 
 
