@@ -46,7 +46,13 @@ def bench_crawl(spark, timings: dict[str, float]) -> dict[str, float]:
     with tempfile.TemporaryDirectory(prefix="bench-crawl-") as wd:
         t0 = time.perf_counter()
         eng = CrawlEngine(
-            spark, pages, wd, CrawlConfig(extract_email=True, max_rounds=16)
+            spark, pages, wd,
+            CrawlConfig(
+                extract_email=True, max_rounds=16,
+                # durable snapshot every 2 rounds + at fixpoint: measures the
+                # resumable configuration without per-round full-state writes
+                checkpoint_every=2,
+            ),
         )
         eng.seed_from_queries(
             [(s["query"].split(" #!#")[0], s["custom_id"]) for s in corpus.seeds]
@@ -79,6 +85,8 @@ def main() -> None:
 
     os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
     os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    os.environ.setdefault("SPARK_OFFHEAP_SIZE", "24g")  # state off-heap (BENCH.md)
 
     from google_maps_scraper_spark.session import get_spark
 
