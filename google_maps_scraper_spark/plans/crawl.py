@@ -44,6 +44,7 @@ write-then-flip-LATEST protocol.  Swapping the store for Iceberg tables
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import shutil
 from dataclasses import dataclass, field
@@ -130,6 +131,7 @@ class CrawlEngine:
         self.cfg = config or CrawlConfig()
         self.round = 0
         self._cum_claimed = 0
+        self._durable_round = -1   # last round with a committed durable snapshot
         self._bloom = None
         if (config or CrawlConfig()).seen_bloom:
             from ..operators.bloom import BloomFilter
@@ -250,14 +252,25 @@ class CrawlEngine:
         return int(min(4096, max(8, self._cum_claimed // 8192)))
 
     def _checkpoint(self) -> None:
+        """Durable snapshot with the write-then-flip protocol: tables land in
+        a temp dir, one atomic rename publishes the round dir, and LATEST (the
+        commit point resume reads) is written last.  A kill at ANY step leaves
+        the previous committed round intact — including a kill mid-write,
+        because the writers never target a directory a live DataFrame (or a
+        committed snapshot) is reading (locked by
+        tests/test_crawl_e2e.py::test_checkpoint_kill_during_write)."""
         from concurrent.futures import ThreadPoolExecutor
 
         rd = self.workdir / f"round={self.round:04d}"
+        tmp = self.workdir / f".tmp.round={self.round:04d}"
+        for stale in (tmp, rd):  # uncommitted leftovers from a crashed attempt
+            if stale.exists():
+                shutil.rmtree(stale)
         n = self._state_partitions()
         with ThreadPoolExecutor(max_workers=4) as ex:
             list(ex.map(
                 lambda nd: nd[1].coalesce(n).write.mode("overwrite").parquet(
-                    str(rd / nd[0])
+                    str(tmp / nd[0])
                 ),
                 (
                     ("frontier", self._frontier),
@@ -265,14 +278,15 @@ class CrawlEngine:
                     ("results", self._results),
                 ),
             ))
-        # re-read first: truncates lineage, makes state immutable on disk, and
-        # lets the manifest counters run against parquet scans (count() is
+        if self._bloom is not None:
+            (tmp / "bloom.bin").write_bytes(self._bloom.to_bytes())
+        os.replace(tmp, rd)  # atomic publish
+        # re-read: truncates lineage, makes state immutable on disk, and lets
+        # the manifest counters run against parquet scans (count() is
         # metadata-only there) instead of re-evaluating the lazy plans.
         self._frontier = self.spark.read.schema(FRONTIER_SCHEMA).parquet(str(rd / "frontier"))
         self._seen = self.spark.read.schema(SEEN_SCHEMA).parquet(str(rd / "seen"))
         self._results = self.spark.read.schema(RESULT_SCHEMA).parquet(str(rd / "results"))
-        if self._bloom is not None:
-            (rd / "bloom.bin").write_bytes(self._bloom.to_bytes())
         manifest = {
             "round": self.round,
             "counters": self.counters(),
@@ -284,6 +298,7 @@ class CrawlEngine:
         }
         (rd / "manifest.json").write_text(json.dumps(manifest, indent=2))
         (self.workdir / "LATEST").write_text(str(self.round))
+        self._durable_round = self.round
 
     @classmethod
     def resume(
@@ -304,6 +319,7 @@ class CrawlEngine:
         eng._frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(str(rd / "frontier"))
         eng._seen = spark.read.schema(SEEN_SCHEMA).parquet(str(rd / "seen"))
         eng._results = spark.read.schema(RESULT_SCHEMA).parquet(str(rd / "results"))
+        eng._durable_round = eng.round
         if manifest.get("bloom") and (rd / "bloom.bin").exists():
             from ..operators.bloom import BloomFilter
 
@@ -311,6 +327,17 @@ class CrawlEngine:
             eng._bloom = BloomFilter(
                 b["m_bits"], b["k"], (rd / "bloom.bin").read_bytes()
             )
+        elif eng._bloom is not None:
+            # seen_bloom requested but the snapshot has no persisted filter
+            # (e.g. the prior run had seen_bloom=False).  A fresh empty Bloom
+            # over a non-empty seen table would answer might_contain=False for
+            # every seen URL, routing them down the definite-new fast path and
+            # bypassing the exact anti-join — duplicate admissions.  Rebuild
+            # from the authoritative seen table instead ("false negatives are
+            # impossible" invariant).
+            from ..operators.bloom import build_bloom
+
+            eng._bloom = build_bloom(eng._seen.select("url"), "url", proto=eng._bloom)
         return eng
 
     # ---------------- round ---------------------------------------------------
@@ -384,6 +411,34 @@ class CrawlEngine:
         ).head()
         n_claimed, n_payload = _c["n"], _c["n_payload"]
         if n_claimed == 0:
+            # Robots-denied NEW jobs with nothing claimable alongside them
+            # must still flip to terminal FAILED — otherwise the fixpoint
+            # exit below leaves them status NEW forever (counters would
+            # report *_new instead of *_failed).
+            n_denied = denied.count() if denied is not None else 0
+            if n_denied > 0:
+                self._frontier = (
+                    self._frontier.join(
+                        denied.select(
+                            "job_id", F.lit(STATUS_FAILED).alias("new_status")
+                        ),
+                        "job_id",
+                        "left",
+                    )
+                    .withColumn("status", F.coalesce("new_status", "status"))
+                    .withColumn(
+                        "round_claimed",
+                        F.when(
+                            F.col("new_status").isNotNull(), F.lit(self.round)
+                        ).otherwise(F.col("round_claimed")),
+                    )
+                    .drop("new_status")
+                )
+                if self.round % max(self.cfg.checkpoint_every, 1) == 0:
+                    self._checkpoint()
+                else:
+                    self._persist_state()
+                return {"claimed": 0, "denied_failed": n_denied, "done": False}
             # Empty claim ≠ fixpoint when budget-remainder rotation is live:
             # with host_budget < politeness_salts a round's rotation can meet
             # only empty shards while other shards still hold NEW jobs
@@ -411,7 +466,16 @@ class CrawlEngine:
         # Fetch misses are recovered afterwards with an anti-join and a lazy
         # dispatch over html-null rows (≙ the fetch-error path: jobs still
         # Process — job.go:114-116, place.go:68-70, emailjob.go:100-102).
-        pages = self.pages.select("url", "html")
+        # warc_ts rides along so multiple captures of one url can be resolved
+        # to the latest one after dispatch (deduping the full pages table per
+        # round would rescan/shuffle it; deduping the claim-sized dispatch
+        # output is ~free and only paid when duplicates actually exist).
+        if "warc_ts" in self.pages.columns:
+            pages = self.pages.select("url", "html", "warc_ts")
+        else:
+            pages = self.pages.select(
+                "url", "html", F.lit(None).cast("timestamp").alias("warc_ts")
+            )
         now = F.lit(cfg.now_micros).cast("long")
         xr = F.lit(cfg.extra_reviews)
         slim_cols = [
@@ -443,18 +507,35 @@ class CrawlEngine:
         if n_payload > 0:
             got = pages.join(
                 bcast(claim_p.select("job_id", "url")), "url", "inner"
-            ).select("job_id", "html")
+            ).select("job_id", "html", "warc_ts")
             parts.append(dispatch(claim_p.join(got, "job_id", "inner")))
         processed = parts[0]
         for extra in parts[1:]:
             processed = processed.unionByName(extra.select(processed.columns))
         processed = processed.localCheckpoint(eager=True)
 
-        # fetch misses are rare: detect them by count (claimed is known,
-        # processed is checkpointed → metadata-cheap) and only then pay for
-        # the anti-join + dispatch; otherwise downstream consumers read the
-        # checkpointed `processed` with no lazy union re-evaluation.
-        n_missing = n_claimed - processed.count()
+        # One agg resolves both corpus anomalies exactly (pages.url is NOT
+        # assumed unique — the schema carries warc_ts, so multiple captures
+        # per url are legal): count(distinct job_id) < count(*) means
+        # duplicate captures (keep the latest per job); distinct < claimed
+        # means genuine fetch misses.  A bare count would let duplicates MASK
+        # misses (dup-inflated count == claimed), leaving missed jobs
+        # re-claimed forever.
+        _p = processed.agg(
+            F.count("*").alias("n"), F.countDistinct("job_id").alias("nd")
+        ).head()
+        if _p["nd"] < _p["n"]:
+            w_cap = Window.partitionBy("job_id").orderBy(
+                F.col("warc_ts").desc_nulls_last()
+            )
+            processed = (
+                processed.withColumn("_rn", F.row_number().over(w_cap))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+                .localCheckpoint(eager=True)
+            )
+        processed = processed.drop("warc_ts")
+        n_missing = n_claimed - _p["nd"]
         if n_missing > 0:
             slim_all = claim_np.unionByName(claim_p)
             missing = dispatch(
@@ -647,11 +728,20 @@ class CrawlEngine:
 
         # --- status flips -----------------------------------------------------
         status_of_claimed = processed_all.select(
-            "job_id", F.col("p.new_status").alias("new_status")
+            "job_id",
+            F.col("p.new_status").alias("new_status"),
+            F.lit(False).alias("terminal"),
         )
         if denied is not None:
+            # robots denials are terminal: flagged so the retryable branch
+            # below can never flip them back to NEW (a denied URL is denied
+            # on every future round — retrying it only starves the fixpoint).
             status_of_claimed = status_of_claimed.unionByName(
-                denied.select("job_id", F.lit(STATUS_FAILED).alias("new_status"))
+                denied.select(
+                    "job_id",
+                    F.lit(STATUS_FAILED).alias("new_status"),
+                    F.lit(True).alias("terminal"),
+                )
             )
 
         new_children = place_jobs.unionByName(
@@ -667,6 +757,7 @@ class CrawlEngine:
         retryable = (
             (F.col("new_status") == STATUS_FAILED)
             & (F.col("retries") < F.col("max_retries"))
+            & ~F.coalesce(F.col("terminal"), F.lit(False))
         )
         updated_frontier = (
             self._frontier.join(status_of_claimed, "job_id", "left")
@@ -686,7 +777,7 @@ class CrawlEngine:
                     F.col("round_claimed")
                 ),
             )
-            .drop("new_status")
+            .drop("new_status", "terminal")
             .unionByName(new_children)
         )
 
@@ -719,8 +810,12 @@ class CrawlEngine:
             stats = self.run_round()
             if stats.get("done"):
                 break
-        if self.cfg.checkpoint_every > 1:
-            self._checkpoint()  # durable snapshot at fixpoint
+        if self._durable_round != self.round:
+            # durable snapshot at fixpoint — skipped when the final round
+            # already committed one (round % checkpoint_every == 0): a second
+            # overwrite would target the very parquet dirs the state
+            # DataFrames are lazily reading and destroy the last checkpoint.
+            self._checkpoint()
         return self.counters()
 
     # ---------------- outputs -------------------------------------------------

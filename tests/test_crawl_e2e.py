@@ -142,3 +142,155 @@ def test_resume_equivalence(spark, corpus, tmp_path_factory, engine_out):
         for r in eng2.results.select("link", "canonical_json").collect()
     }
     assert resumed == full
+
+
+def test_fixpoint_even_round_checkpoint(spark, corpus, tmp_path_factory, engine_out):
+    """Regression (round-2 ADVICE, high): with checkpoint_every>1, a crawl
+    whose final round lands exactly on the durable cadence must not
+    re-checkpoint at fixpoint — the old overwrite targeted the very parquet
+    dirs the state DataFrames were lazily reading, crashing the run and
+    destroying the last durable snapshot."""
+    eng_full, counters = engine_out
+    pages_df = corpus_to_spark(spark, corpus)
+    seeds = [(s["query"].split("#!#")[0].strip(), s["custom_id"]) for s in corpus.seeds]
+    rounds = counters["round"]
+    # cadence == total rounds → the final round writes the durable snapshot
+    # inside run_round(); pre-fix, run() then overwrote that same round dir.
+    wd = str(tmp_path_factory.mktemp("evenckpt"))
+    cfg = CrawlConfig(extract_email=True, now_micros=NOW, checkpoint_every=rounds)
+    eng = CrawlEngine(spark, pages_df, wd, cfg)
+    eng.seed_from_queries(seeds)
+    c2 = eng.run()
+    assert c2["results"] == counters["results"]
+    assert eng._durable_round == eng.round
+    # the snapshot must be intact and resumable
+    eng3 = CrawlEngine.resume(spark, pages_df, wd, cfg)
+    assert eng3.round == eng.round
+    assert eng3.results.count() == counters["results"]
+
+
+def test_checkpoint_kill_during_write(spark, corpus, tmp_path_factory, engine_out, monkeypatch):
+    """Kill injected INSIDE _checkpoint (at the atomic publish step): the
+    previous committed round must survive untouched, and resume + rerun must
+    reach the same final results (write-then-flip protocol proof)."""
+    import google_maps_scraper_spark.plans.crawl as crawl_mod
+
+    eng_full, counters = engine_out
+    pages_df = corpus_to_spark(spark, corpus)
+    seeds = [(s["query"].split("#!#")[0].strip(), s["custom_id"]) for s in corpus.seeds]
+    wd = str(tmp_path_factory.mktemp("killwrite"))
+    cfg = CrawlConfig(extract_email=True, now_micros=NOW)
+    eng = CrawlEngine(spark, pages_df, wd, cfg)
+    eng.seed_from_queries(seeds)
+    eng.run_round()  # round 1 committed
+
+    real_replace = crawl_mod.os.replace
+
+    def boom(*a, **k):
+        raise RuntimeError("injected kill during checkpoint publish")
+
+    monkeypatch.setattr(crawl_mod.os, "replace", boom)
+    with pytest.raises(RuntimeError, match="injected kill"):
+        eng.run_round()  # round 2 checkpoint dies mid-flight
+    monkeypatch.setattr(crawl_mod.os, "replace", real_replace)
+    del eng
+
+    import pathlib
+    assert (pathlib.Path(wd) / "LATEST").read_text().strip() == "1"
+    eng2 = CrawlEngine.resume(spark, pages_df, wd, cfg)
+    assert eng2.round == 1
+    eng2.run()
+    full = {
+        r["link"]: r["canonical_json"]
+        for r in eng_full.results.select("link", "canonical_json").collect()
+    }
+    resumed = {
+        r["link"]: r["canonical_json"]
+        for r in eng2.results.select("link", "canonical_json").collect()
+    }
+    assert resumed == full
+
+
+def test_robots_denied_terminal(spark, corpus, tmp_path_factory):
+    """Regression (round-2 ADVICE, medium): robots-denied jobs are terminal
+    FAILED — never retried back to NEW, and flipped even when a round claims
+    nothing besides them."""
+    pages_df = corpus_to_spark(spark, corpus)
+    seeds = [(s["query"].split("#!#")[0].strip(), s["custom_id"]) for s in corpus.seeds]
+    cfg = CrawlConfig(
+        extract_email=False,
+        now_micros=NOW,
+        robots=[("google.com", "/maps/place/")],
+    )
+    eng = CrawlEngine(spark, pages_df, str(tmp_path_factory.mktemp("robots")), cfg)
+    eng.seed_from_queries(seeds)
+    counters = eng.run()
+    # every admitted place job was denied and must end FAILED (not NEW)
+    assert counters.get("place_new", 0) == 0
+    assert counters.get("place_done", 0) == 0
+    assert counters.get("place_failed", 0) > 0
+    assert counters["results"] == 0
+    # denied jobs were never re-claimed: retries stayed 0
+    assert (
+        eng.frontier.filter("kind = 'place' AND retries > 0").count() == 0
+    )
+
+
+def test_resume_rebuilds_missing_bloom(spark, corpus, tmp_path_factory):
+    """Regression (round-2 ADVICE, medium): resuming with seen_bloom=True from
+    a snapshot that has no persisted filter must rebuild it from the seen
+    table — an empty Bloom over a non-empty seen set would route every seen
+    URL down the definite-new path and admit duplicates."""
+    pages_df = corpus_to_spark(spark, corpus)
+    seeds = [(s["query"].split("#!#")[0].strip(), s["custom_id"]) for s in corpus.seeds]
+    wd = str(tmp_path_factory.mktemp("bloomresume"))
+    cfg_off = CrawlConfig(extract_email=False, now_micros=NOW, seen_bloom=False)
+    eng = CrawlEngine(spark, pages_df, wd, cfg_off)
+    eng.seed_from_queries(seeds)
+    eng.run_round()
+    eng.run_round()  # places admitted → seen non-empty
+    seen_urls = [r["url"] for r in eng.seen.select("url").collect()]
+    assert seen_urls
+    del eng
+
+    cfg_on = CrawlConfig(
+        extract_email=False, now_micros=NOW, seen_bloom=True, bloom_capacity=10_000
+    )
+    eng2 = CrawlEngine.resume(spark, pages_df, wd, cfg_on)
+    assert eng2._bloom is not None
+    misses = [u for u in seen_urls if not eng2._bloom.might_contain(u)]
+    assert not misses, f"rebuilt Bloom false-negatives: {misses[:3]}"
+
+
+def test_duplicate_page_captures_latest_wins(spark, corpus, tmp_path_factory, engine_out):
+    """Regression (round-2 ADVICE, low): multiple captures per url (legal —
+    the schema carries warc_ts) must neither duplicate results nor mask fetch
+    misses; the latest capture wins (≙ a live fetch returning the current
+    page)."""
+    from pyspark.sql import functions as F
+
+    eng_full, counters = engine_out
+    pages_df = corpus_to_spark(spark, corpus)
+    # add an OLDER, malformed capture of every place page: if dedup-by-latest
+    # is broken these either produce duplicate/failed results or mask misses
+    stale = (
+        pages_df.filter(F.col("url").contains("/maps/place/"))
+        .withColumn("warc_ts", F.col("warc_ts") - F.expr("INTERVAL 30 DAYS"))
+        .withColumn("html", F.lit(b"<html>stale capture, not parseable</html>"))
+    )
+    dup_pages = pages_df.unionByName(stale)
+    seeds = [(s["query"].split("#!#")[0].strip(), s["custom_id"]) for s in corpus.seeds]
+    cfg = CrawlConfig(extract_email=True, now_micros=NOW)
+    eng = CrawlEngine(spark, dup_pages, str(tmp_path_factory.mktemp("dupcap")), cfg)
+    eng.seed_from_queries(seeds)
+    c2 = eng.run()
+    assert c2["results"] == counters["results"]
+    full = {
+        r["link"]: r["canonical_json"]
+        for r in eng_full.results.select("link", "canonical_json").collect()
+    }
+    got = {
+        r["link"]: r["canonical_json"]
+        for r in eng.results.select("link", "canonical_json").collect()
+    }
+    assert got == full
