@@ -15,12 +15,16 @@ compare sorts columns by name before hashing values).
 
 from __future__ import annotations
 
+import struct
+import zlib
 from typing import Callable
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["QUERIES", "ORACLES", "load"]
+__all__ = ["QUERIES", "ORACLES", "load", "parse_image_header"]
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -601,6 +605,110 @@ def multimodal_binary_meta(spark, sf):
         "doc_id",
         F.octet_length(F.col("text").cast("binary")).cast("long").alias("byte_len"),
         F.sha2(F.col("text"), 256).alias("payload_sha"),
+    )
+
+
+# --- multimodal: real header decode over an opaque binary column -----------
+#
+# The container ships no image libs, so full pixel decode stays out of reach;
+# header parsing (PNG IHDR / JPEG SOF marker scan) is real byte-level
+# decoding and exercises the whole multimodal plumbing: binary column →
+# Arrow batch → vectorized parser → typed struct.
+
+def _png_payload(width: int, height: int) -> bytes:
+    """Minimal valid PNG prelude: signature + IHDR chunk (real CRC)."""
+    ihdr = struct.pack(">II", width, height) + b"\x08\x06\x00\x00\x00"
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def _jpeg_payload(width: int, height: int) -> bytes:
+    """Minimal JFIF stream: SOI + APP0 + SOF0 (dims live here) + EOI."""
+    app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    sof0 = b"\x08" + struct.pack(">HH", height, width) + b"\x01\x11\x00\x00"
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+        + b"\xff\xd9"
+    )
+
+
+_PNG_LEN = len(_png_payload(1, 1))
+_JPEG_LEN = len(_jpeg_payload(1, 1))
+
+
+def parse_image_header(b: bytes | None) -> tuple[str | None, int | None, int | None]:
+    """Decode (format, width, height) from raw image bytes: PNG IHDR fields,
+    or a real JPEG marker-segment scan for the first SOF0/1/2 frame header."""
+    if not b:
+        return (None, None, None)
+    b = bytes(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        w, h = struct.unpack(">II", b[16:24])
+        return ("png", w, h)
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b) and b[i] == 0xFF:
+            marker = b[i + 1]
+            seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+            if marker in (0xC0, 0xC1, 0xC2) and i + 9 <= len(b):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return ("jpeg", w, h)
+            i += 2 + seglen
+        return ("jpeg", None, None)
+    return ("unknown", None, None)
+
+
+@_q(
+    "multimodal_image_dims",
+    f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+           CAST(16 + (doc_id * 13) % 2048 AS INT) AS width,
+           CAST(16 + (doc_id * 7) % 2048 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN {_PNG_LEN} ELSE {_JPEG_LEN} END
+                AS BIGINT) AS byte_len
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_image_dims(spark, sf):
+    """Image-header decode over a binary payload column: synthesize a real
+    PNG/JPEG header stream per document (deterministic dims from doc_id),
+    then DECODE it back with a byte-level parser — two independent
+    vectorized UDFs, so the parse stage sees only opaque bytes.  The oracle
+    recomputes the expected dims arithmetically, verifying the decoder."""
+
+    @F.pandas_udf("binary")
+    def synth_payload(doc_id: pd.Series) -> pd.Series:
+        def mk(i: int) -> bytes:
+            w, h = 16 + (i * 13) % 2048, 16 + (i * 7) % 2048
+            return _png_payload(w, h) if i % 2 == 0 else _jpeg_payload(w, h)
+
+        return doc_id.map(lambda i: mk(int(i)))
+
+    @F.pandas_udf("format string, width int, height int")
+    def decode_header(payload: pd.Series) -> pd.DataFrame:
+        rows = [parse_image_header(b) for b in payload]
+        return pd.DataFrame(rows, columns=["format", "width", "height"])
+
+    d = load(spark, sf, "documents").select("doc_id")
+    with_payload = d.withColumn("payload", synth_payload("doc_id"))
+    return (
+        with_payload.withColumn("img", decode_header("payload"))
+        .select(
+            "doc_id",
+            F.col("img.format").alias("format"),
+            F.col("img.width").alias("width"),
+            F.col("img.height").alias("height"),
+            F.octet_length("payload").cast("long").alias("byte_len"),
+        )
+        .orderBy("doc_id")
     )
 
 

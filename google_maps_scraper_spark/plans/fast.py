@@ -34,9 +34,13 @@ class FastSearchConfig:
     zoom: float = 15.0
     radius_m: float = 10_000.0   # CLI default (runner/runner.go radius flag)
     lang: str = "en"
-    # NB deliberate divergence: radius_m <= 0 disables the filter here,
-    # whereas the reference's filterAndSortEntriesWithinRadius would return
-    # nothing for radius 0.  The oracle in this module matches THIS engine.
+    radius_zero_disables_filter: bool = False
+    # Default = reference parity: filterAndSortEntriesWithinRadius
+    # (gmaps/entry.go:1013-1047) applies ``distance <= radius``
+    # unconditionally, so radius 0 keeps only entries exactly at the center
+    # and a negative radius keeps nothing.  The flag opts into the lenient
+    # round-1 behavior (radius ≤ 0 ⇒ no filter) for callers that used it as
+    # an "unbounded" sentinel.
 
 
 _FAST_ENTRY_SCHEMA = T.ArrayType(T.StructType([
@@ -135,10 +139,11 @@ class FastSearchEngine:
             .select("seed_id", "query", F.explode("e").alias("e"))
             .select("seed_id", "query", "e.*")
         )
+        skip_filter = cfg.radius_zero_disables_filter and cfg.radius_m <= 0
         filtered = (
-            exploded.filter(F.col("distance_m") <= F.lit(float(cfg.radius_m)))
-            if cfg.radius_m > 0
-            else exploded
+            exploded
+            if skip_filter
+            else exploded.filter(F.col("distance_m") <= F.lit(float(cfg.radius_m)))
         )
         w = Window.partitionBy("seed_id").orderBy("distance_m", "pos")
         return (
@@ -173,12 +178,13 @@ def fast_oracle(
             entries = parse_search_results(body)
         except ValueError:
             continue
+        skip_filter = config.radius_zero_disables_filter and config.radius_m <= 0
         wd = []
         for pos, e in enumerate(entries):
             d = haversine_distance(
                 config.lat, config.lon, float(e["latitude"]), float(e["longtitude"])
             )
-            if config.radius_m > 0 and d > config.radius_m:
+            if not skip_filter and d > config.radius_m:
                 continue
             wd.append((d, pos, e))
         wd.sort(key=lambda t: (t[0], t[1]))

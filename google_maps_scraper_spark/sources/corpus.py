@@ -233,10 +233,19 @@ def generate_corpus(
         ts += dt.timedelta(seconds=1)
         c.pages.append({"url": url, "warc_ts": ts, "html": html.encode(), "text": text, "lang": lang})
 
+    import math
+
+    pair_period = math.lcm(len(_CITIES), len(_CATEGORIES))
     for s in range(n_seeds):
         city, country, tz, clat, clon = _CITIES[s % len(_CITIES)]
         cat = _CATEGORIES[s % len(_CATEGORIES)]
         query = f"{cat.lower()} in {city.lower()}"
+        if s >= pair_period:
+            # keep queries (hence SERP urls) unique once the city×category
+            # cycle wraps — one url maps to ONE page (the corpus is a web
+            # snapshot; the engine resolves multiple captures to the latest,
+            # so duplicate urls with different bodies would shadow each other)
+            query += f" district {s:04d}"
         custom_id = f"seed-{s:03d}" if s % 2 == 0 else ""
         c.seeds.append({
             "line_no": s,

@@ -125,3 +125,122 @@ def test_simhash_similarity_correlates(spark):
 
     assert ham(1, 2) < ham(1, 3)
     assert ham(1, 2) <= 16  # near-dups stay close in Hamming space
+
+
+def test_simhash_one_pass_equals_naive(spark):
+    """The one-pass SimHash (token hashed once, 64 bit-votes folded in one
+    aggregate) must produce exactly the naive per-bit formulation's values."""
+    from pyspark.sql import functions as F
+
+    from google_maps_scraper_spark.operators.dedup_docs import simhash
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .limit(50)
+        .select("doc_id", "text")
+    )
+    naive = docs.withColumn(
+        "_toks", F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    ).withColumn(
+        "naive_simhash",
+        F.expr(
+            "aggregate(sequence(0, 63), cast(0 as bigint), (acc, b) -> acc + "
+            " if(aggregate(_toks, 0, (s, t) ->"
+            "      s + if(((xxhash64(t) >> b) & 1) = 1, 1, -1)) > 0,"
+            "    shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"
+        ),
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    want = {r["doc_id"]: r["naive_simhash"] for r in naive.collect()}
+    assert got == want
+
+
+def test_lsh_neardup_pairs_semantics(spark, emb_np):
+    """emb_lsh_neardup_pairs = pairs with signature Hamming ≤ 3 AND exact
+    cosine ≥ 0.4: the banded discovery must equal the brute-force evaluation
+    of that set definition (pigeonhole guarantees 100% recall within the
+    radius), and be a subset of the exact-threshold pair set."""
+    import numpy as np
+
+    from google_maps_scraper_spark.operators.similarity import (
+        NEARDUP_HAMMING,
+        NEARDUP_THRESHOLD,
+        emb_lsh_neardup_pairs,
+        plane_weights,
+    )
+
+    ids, mat = emb_np
+    w = np.array(plane_weights(16, mat.shape[1]), dtype=np.float64)
+    sigs = ((mat @ w.T) > 0).astype(np.int64) @ (1 << np.arange(16))
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            ham = bin(int(sigs[i]) ^ int(sigs[j])).count("1")
+            if ham <= NEARDUP_HAMMING and round(cos[i, j], 3) >= NEARDUP_THRESHOLD:
+                want.add((int(ids[i]), int(ids[j])))
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in emb_lsh_neardup_pairs(spark, SF).collect()
+    }
+    assert got == want
+    # subset of the exact near-dup set (LSH never invents pairs)
+    exact = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if round(cos[i, j], 3) >= NEARDUP_THRESHOLD
+    }
+    assert got <= exact
+
+
+def test_ann_fallback_flag_and_warning(spark, tmp_path, caplog):
+    """A probe set under k candidates must degrade to brute force LOUDLY:
+    warning logged + brute_force_fallback=true on every row (the catalog's
+    'no silent caps' rule)."""
+    import logging
+
+    import numpy as np
+
+    from google_maps_scraper_spark.operators.similarity import emb_lsh_ann_topk
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=64)], 0)
+        for i in range(12)  # 12 vectors: Hamming-1 probes can't reach 10 cands
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    with caplog.at_level(logging.WARNING):
+        out = emb_lsh_ann_topk(spark, str(tmp_path)).collect()
+    assert out and all(r["brute_force_fallback"] for r in out)
+    assert any("brute-force" in rec.message for rec in caplog.records)
+
+
+def test_vectorized_variants_equal_hof(spark):
+    """The Arrow-vectorized simhash/minhash must equal the JVM HOF md5
+    variants value-for-value (same oracle formulation, two execution paths)."""
+    from google_maps_scraper_spark.operators.dedup_docs import (
+        minhash_sig_vectorized,
+        minhash_signatures,
+        shingle_tokens,
+        simhash,
+        simhash_vectorized,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(100)
+    a = {r["doc_id"]: r["simhash"] for r in simhash_vectorized(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash(docs, hash_fn="md5").collect()}
+    assert a == b
+    sh = shingle_tokens(docs)
+    va = {
+        r["doc_id"]: list(r["sig"]) for r in minhash_sig_vectorized(sh).collect()
+    }
+    vb = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signatures(sh, hash_fn="md5").collect()
+    }
+    assert va == vb

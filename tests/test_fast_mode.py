@@ -72,3 +72,36 @@ def test_fast_mode_sorted_by_distance(spark, corpus, seeds):
         rs.sort()
         dists = [d for _, d in rs]
         assert dists == sorted(dists), seed_id
+
+
+def test_fast_mode_radius_zero_parity(spark, corpus, seeds):
+    """Reference parity (gmaps/entry.go:1013-1047): radius is applied
+    unconditionally — radius 0 keeps only distance-0 entries (none here),
+    a huge radius keeps everything, and the legacy flag restores the
+    lenient round-1 behavior."""
+    from google_maps_scraper_spark.plans.fast import (
+        FastSearchConfig,
+        FastSearchEngine,
+        fast_oracle,
+    )
+    from google_maps_scraper_spark.sources.corpus import corpus_to_spark
+
+    pages_df = corpus_to_spark(spark, corpus)
+    pages = {p["url"]: p["html"] for p in corpus.pages}
+    for radius in (0.0, -1.0, 1e12):
+        cfg = FastSearchConfig(
+            lat=CFG.lat, lon=CFG.lon, zoom=CFG.zoom, radius_m=radius
+        )
+        got = FastSearchEngine(spark, pages_df, cfg).run(seeds).collect()
+        want = fast_oracle(pages, seeds, cfg)
+        assert len(got) == len(want), f"radius={radius}"
+        if radius <= 0:
+            assert got == []  # reference: nothing within radius ≤ 0
+
+    lenient = FastSearchConfig(
+        lat=CFG.lat, lon=CFG.lon, zoom=CFG.zoom, radius_m=0.0,
+        radius_zero_disables_filter=True,
+    )
+    got = FastSearchEngine(spark, pages_df, lenient).run(seeds).collect()
+    want = fast_oracle(pages, seeds, lenient)
+    assert len(got) == len(want) > 0
