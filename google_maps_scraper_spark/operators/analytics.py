@@ -608,6 +608,50 @@ def multimodal_binary_meta(spark, sf):
     )
 
 
+@_q(
+    "nested_struct_city_rollup",
+    """
+    SELECT ca.city AS city, COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM (
+      SELECT c_acctbal,
+             {'street': c_name, 'city': n_name, 'country': r_name} AS ca
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    )
+    WHERE ca.country = 'EUROPE' AND ca.city <> 'FRANCE'
+    GROUP BY ca.city
+    ORDER BY city
+    """,
+)
+def nested_struct_city_rollup(spark, sf):
+    """Nested-field predicate + rollup over a typed struct column — the query
+    shape the typed Entry struct enables on crawl results (e.g. WHERE
+    entry.complete_address.city = ...; schemas.ENTRY_STRUCT).  Filters on
+    struct fields stay JVM-side and prune like flat columns."""
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    ca = F.struct(
+        F.col("c_name").alias("street"),
+        F.col("n_name").alias("city"),
+        F.col("r_name").alias("country"),
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .withColumn("ca", ca)
+        .filter((F.col("ca.country") == "EUROPE") & (F.col("ca.city") != "FRANCE"))
+        .groupBy(F.col("ca.city").alias("city"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("city")
+    )
+
+
 # --- multimodal: real header decode over an opaque binary column -----------
 #
 # The container ships no image libs, so full pixel decode stays out of reach;

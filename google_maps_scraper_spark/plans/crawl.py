@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 
 from ..operators.extractors import dispatch_udf, etld1_col
 from ..schemas import (
+    ENTRY_STRUCT,
     FRONTIER_SCHEMA,
     KIND_EMAIL,
     KIND_PLACE,
@@ -651,6 +652,9 @@ class CrawlEngine:
                 )
             ],
             F.lit(None).cast("array<string>").alias("emails"),
+            # fully-typed Entry struct, parsed JVM-side from the canonical
+            # JSON (SURVEY §1.2 preferred shape: StructType + canonical JSON)
+            F.from_json(F.col("p.entry.canonical_json"), ENTRY_STRUCT).alias("entry"),
             F.col("p.entry.canonical_json").alias("canonical_json"),
             F.lit(self.round).alias("round_emitted"),
         )
@@ -722,6 +726,7 @@ class CrawlEngine:
                         "emails", "canonical_json",
                     )
                 ],
+                F.from_json(F.col("p.email.canonical_json"), ENTRY_STRUCT).alias("entry"),
                 F.lit(self.round).alias("round_emitted"),
             )
         )

@@ -26,6 +26,8 @@ __all__ = [
     "FRONTIER_SCHEMA",
     "SEEN_SCHEMA",
     "RESULT_SCHEMA",
+    "ENTRY_STRUCT",
+    "REVIEW_STRUCT",
     "PENDING_ENTRY_SCHEMA",
     "EMAIL_FINALIZE_SCHEMA",
     "DISPATCH_SCHEMA",
@@ -115,7 +117,110 @@ SEEN_SCHEMA = T.StructType([
     T.StructField("round_admitted", T.IntegerType(), False),
 ])
 
-# Typed scalar projection + canonical JSON payload (full fidelity).
+# Fully-typed Entry struct (SURVEY §1.2's preferred shape): field names are
+# exactly the canonical-JSON keys (Go MarshalJSON tags, entry.go:90-134 —
+# including the dual longitude/longtitude quirk), so the struct is produced
+# JVM-side with from_json(canonical_json, ENTRY_STRUCT) — no Python stage,
+# and the Arrow nested-MapType limitation never applies (it only constrains
+# pandas-UDF RETURN types, not JVM JSON parsing).  PopularTimes keeps Go's
+# map[string]map[int]int shape as map<string, map<string,int>> (JSON object
+# keys are strings).
+_LINK_SOURCE_STRUCT = T.StructType([
+    T.StructField("link", T.StringType(), True),
+    T.StructField("source", T.StringType(), True),
+])
+
+REVIEW_STRUCT = T.StructType([
+    T.StructField("Name", T.StringType(), True),
+    T.StructField("ProfilePicture", T.StringType(), True),
+    T.StructField("Rating", T.LongType(), True),
+    T.StructField("Description", T.StringType(), True),
+    T.StructField("Images", T.ArrayType(T.StringType()), True),
+    T.StructField("When", T.StringType(), True),
+    T.StructField("review_id", T.StringType(), True),
+    T.StructField("source", T.StringType(), True),
+    T.StructField("rating_scale", T.LongType(), True),
+    T.StructField("rating_float", T.DoubleType(), True),
+    T.StructField("author_url", T.StringType(), True),
+    T.StructField("posted_at_unix_micros", T.LongType(), True),
+    T.StructField("updated_at_unix_micros", T.LongType(), True),
+    T.StructField("language", T.StringType(), True),
+    T.StructField("translated_lang", T.StringType(), True),
+    T.StructField("text_original", T.StringType(), True),
+    T.StructField("text_translated", T.StringType(), True),
+    T.StructField("reply_text", T.StringType(), True),          # omitempty
+    T.StructField("reply_text_original", T.StringType(), True),
+    T.StructField("reply_language", T.StringType(), True),
+    T.StructField("reply_translated_lang", T.StringType(), True),
+    T.StructField("reply_posted_at_unix_micros", T.LongType(), True),
+    T.StructField("reply_updated_at_unix_micros", T.LongType(), True),
+    T.StructField("published_at", T.StringType(), True),        # RFC3339Nano
+])
+
+ENTRY_STRUCT = T.StructType([
+    T.StructField("longitude", T.DoubleType(), True),
+    T.StructField("input_id", T.StringType(), True),
+    T.StructField("link", T.StringType(), True),
+    T.StructField("cid", T.StringType(), True),
+    T.StructField("title", T.StringType(), True),
+    T.StructField("categories", T.ArrayType(T.StringType()), True),
+    T.StructField("category", T.StringType(), True),
+    T.StructField("address", T.StringType(), True),
+    T.StructField("open_hours", T.MapType(T.StringType(), T.ArrayType(T.StringType())), True),
+    T.StructField("popular_times", T.MapType(T.StringType(), T.MapType(T.StringType(), T.IntegerType())), True),
+    T.StructField("web_site", T.StringType(), True),
+    T.StructField("phone", T.StringType(), True),
+    T.StructField("plus_code", T.StringType(), True),
+    T.StructField("review_count", T.IntegerType(), True),
+    T.StructField("review_rating", T.DoubleType(), True),
+    T.StructField("reviews_per_rating", T.MapType(T.StringType(), T.IntegerType()), True),
+    T.StructField("latitude", T.DoubleType(), True),
+    T.StructField("longtitude", T.DoubleType(), True),   # reference misspelling wins on read
+    T.StructField("status", T.StringType(), True),
+    T.StructField("description", T.StringType(), True),
+    T.StructField("reviews_link", T.StringType(), True),
+    T.StructField("thumbnail", T.StringType(), True),
+    T.StructField("timezone", T.StringType(), True),
+    T.StructField("price_range", T.StringType(), True),
+    T.StructField("data_id", T.StringType(), True),
+    T.StructField("street_view_url", T.StringType(), True),
+    T.StructField("place_id", T.StringType(), True),
+    T.StructField("images", T.ArrayType(T.StructType([
+        T.StructField("title", T.StringType(), True),
+        T.StructField("image", T.StringType(), True),
+    ])), True),
+    T.StructField("reservations", T.ArrayType(_LINK_SOURCE_STRUCT), True),
+    T.StructField("order_online", T.ArrayType(_LINK_SOURCE_STRUCT), True),
+    T.StructField("menu", _LINK_SOURCE_STRUCT, True),
+    T.StructField("owner", T.StructType([
+        T.StructField("id", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("link", T.StringType(), True),
+    ]), True),
+    T.StructField("complete_address", T.StructType([
+        T.StructField("borough", T.StringType(), True),
+        T.StructField("street", T.StringType(), True),
+        T.StructField("city", T.StringType(), True),
+        T.StructField("postal_code", T.StringType(), True),
+        T.StructField("state", T.StringType(), True),
+        T.StructField("country", T.StringType(), True),
+    ]), True),
+    T.StructField("credit_cards_accepted", T.ArrayType(T.StringType()), True),
+    T.StructField("about", T.ArrayType(T.StructType([
+        T.StructField("id", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("options", T.ArrayType(T.StructType([
+            T.StructField("name", T.StringType(), True),
+            T.StructField("enabled", T.BooleanType(), True),
+            T.StructField("values", T.ArrayType(T.StringType()), True),  # omitempty
+        ])), True),
+    ])), True),
+    T.StructField("user_reviews", T.ArrayType(REVIEW_STRUCT), True),
+    T.StructField("user_reviews_extended", T.ArrayType(REVIEW_STRUCT), True),
+    T.StructField("emails", T.ArrayType(T.StringType()), True),
+])
+
+# Typed scalar projection + full typed Entry struct + canonical JSON payload.
 RESULT_SCHEMA = T.StructType([
     T.StructField("job_id", T.StringType(), False),
     T.StructField("input_id", T.StringType(), True),
@@ -137,6 +242,7 @@ RESULT_SCHEMA = T.StructType([
     T.StructField("place_id", T.StringType(), True),
     T.StructField("data_id", T.StringType(), True),
     T.StructField("emails", T.ArrayType(T.StringType()), True),
+    T.StructField("entry", ENTRY_STRUCT, True),
     T.StructField("canonical_json", T.StringType(), True),
     T.StructField("round_emitted", T.IntegerType(), True),
 ])
