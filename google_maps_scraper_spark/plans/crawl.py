@@ -652,9 +652,6 @@ class CrawlEngine:
                 )
             ],
             F.lit(None).cast("array<string>").alias("emails"),
-            # fully-typed Entry struct, parsed JVM-side from the canonical
-            # JSON (SURVEY §1.2 preferred shape: StructType + canonical JSON)
-            F.from_json(F.col("p.entry.canonical_json"), ENTRY_STRUCT).alias("entry"),
             F.col("p.entry.canonical_json").alias("canonical_json"),
             F.lit(self.round).alias("round_emitted"),
         )
@@ -726,7 +723,6 @@ class CrawlEngine:
                         "emails", "canonical_json",
                     )
                 ],
-                F.from_json(F.col("p.email.canonical_json"), ENTRY_STRUCT).alias("entry"),
                 F.lit(self.round).alias("round_emitted"),
             )
         )
@@ -842,7 +838,16 @@ class CrawlEngine:
 
     @property
     def results(self) -> DataFrame:
-        return self._results
+        """Results with the fully-typed ``entry`` struct (schemas.ENTRY_STRUCT,
+        SURVEY §1.2 preferred shape) derived JVM-side from canonical_json at
+        read time: nested queries like ``entry.complete_address.city`` work
+        directly, while the hot loop checkpoints only the canonical JSON
+        (Catalyst prunes the parse for queries that never touch ``entry``)."""
+        if self._results is None:
+            return None
+        return self._results.withColumn(
+            "entry", F.from_json("canonical_json", ENTRY_STRUCT)
+        )
 
     @property
     def seen(self) -> DataFrame:

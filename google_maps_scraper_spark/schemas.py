@@ -242,10 +242,17 @@ RESULT_SCHEMA = T.StructType([
     T.StructField("place_id", T.StringType(), True),
     T.StructField("data_id", T.StringType(), True),
     T.StructField("emails", T.ArrayType(T.StringType()), True),
-    T.StructField("entry", ENTRY_STRUCT, True),
     T.StructField("canonical_json", T.StringType(), True),
     T.StructField("round_emitted", T.IntegerType(), True),
 ])
+# NB the fully-typed `entry` struct column (ENTRY_STRUCT) is a DERIVED
+# projection: CrawlEngine.results adds it lazily with
+# from_json(canonical_json, ENTRY_STRUCT).  Storing it would re-serialize
+# every nested field into the checkpoint parquet (measured: double the
+# results write volume + 1 JSON parse per row per durable checkpoint) for
+# data the canonical_json column already carries losslessly; deriving it at
+# read time costs nothing when untouched (Catalyst prunes the parse) and one
+# JVM json parse per row only for queries that actually read nested fields.
 
 # UDF return schemas -----------------------------------------------------------
 

@@ -54,6 +54,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # Shuffle/spill scratch location (spark.local.dir).  On a real cluster
+    # every executor brings its own local SSDs, so shuffle bandwidth scales
+    # with node count; a single-box sandbox serializes all levels onto one
+    # disk unless scratch is pointed at node-local-equivalent storage
+    # (tools/bench_scaling.py sets this to a tmpfs).
+    local_dir = os.environ.get("GMS_SPARK_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     # Off-heap block storage (set SPARK_OFFHEAP_SIZE, e.g. "64g"): keeps the
     # per-round materialized state out of the GC's way — at 32-way
     # parallelism over multi-KB rows this halved end-to-end crawl wall time.

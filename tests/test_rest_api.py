@@ -1,0 +1,87 @@
+"""REST surface parity (≙ web/web.go:54-116 route table): submit via POST,
+poll status, download the CSV artifact, delete."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from google_maps_scraper_spark.plans.api import make_server
+from google_maps_scraper_spark.plans.jobs import JobRunner
+from google_maps_scraper_spark.sources.corpus import corpus_to_spark, generate_corpus
+
+NOW = 1786838400000000
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    corpus = generate_corpus(n_seeds=2, places_per_serp=4, seed=42)
+    pages = corpus_to_spark(spark, corpus).localCheckpoint(eager=True)
+    runner = JobRunner(
+        spark, pages, str(tmp_path_factory.mktemp("apidata")), now_micros=NOW
+    )
+    srv, stop = make_server(runner)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    queries = [s["query"].split(" #!#")[0] for s in corpus.seeds]
+    yield base, runner, queries
+    stop.set()
+    srv.shutdown()
+
+
+def _req(method, url, body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    if data:
+        req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req) as r:
+            raw = r.read()
+            return r.status, raw, dict(r.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), dict(e.headers)
+
+
+def test_rest_job_lifecycle(served):
+    base, runner, queries = served
+    code, raw, headers = _req(
+        "POST", f"{base}/api/v1/jobs",
+        {"name": "api-job", "keywords": queries, "email": True},
+    )
+    assert code == 201
+    job = json.loads(raw)
+    jid = job["id"]
+    assert headers["Location"].endswith(jid)
+    assert job["status"] == "pending"
+
+    code, raw, _ = _req("GET", f"{base}/api/v1/jobs")
+    assert code == 200 and any(j["id"] == jid for j in json.loads(raw))
+
+    runner.run_pending()  # the work-loop tick
+
+    code, raw, _ = _req("GET", f"{base}/api/v1/jobs/{jid}")
+    assert code == 200 and json.loads(raw)["status"] == "ok"
+
+    code, raw, headers = _req("GET", f"{base}/api/v1/jobs/{jid}/download")
+    assert code == 200
+    assert headers["Content-Type"] == "text/csv"
+    assert raw.startswith(b"input_id,link,title,")
+
+    code, _, _ = _req("DELETE", f"{base}/api/v1/jobs/{jid}")
+    assert code == 204
+    code, _, _ = _req("GET", f"{base}/api/v1/jobs/{jid}")
+    assert code == 404
+    code, _, _ = _req("GET", f"{base}/api/v1/jobs/{jid}/download")
+    assert code == 404
+
+
+def test_rest_validation(served):
+    base, _, _ = served
+    code, _, _ = _req("POST", f"{base}/api/v1/jobs", {"keywords": []})
+    assert code == 422
+    code, _, _ = _req("POST", f"{base}/api/v1/jobs/nope", {"keywords": ["x"]})
+    assert code == 404
+    code, _, _ = _req("GET", f"{base}/api/v1/jobs/unknown-id")
+    assert code == 404
