@@ -99,6 +99,22 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    # Untimed warmup: first-plan codegen, Python-worker spawn, and the
+    # parquet footer reads otherwise land entirely on the first query
+    # (~4 s of JVM warmup misattributed to frontier_claim_topk in round 1).
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(x):
+        return x
+
+    warm = spark.range(10_000).withColumn(
+        "rk", F.row_number().over(Window.partitionBy(F.col("id") % 4).orderBy("id"))
+    ).withColumn("w", _warm("id"))
+    warm.write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()
