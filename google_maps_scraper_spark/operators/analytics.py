@@ -697,14 +697,35 @@ def parse_image_header(b: bytes | None) -> tuple[str | None, int | None, int | N
         w, h = struct.unpack(">II", b[16:24])
         return ("png", w, h)
     if b[:2] == b"\xff\xd8":
-        i = 2
-        while i + 4 <= len(b) and b[i] == 0xFF:
+        # Marker scan per ITU-T T.81 §B.1.1.2: markers may be preceded by any
+        # number of 0xFF fill bytes, and TEM (0x01), RST0-7 (0xD0-0xD7), SOI
+        # (0xD8) and EOI (0xD9) are standalone — they carry NO length segment.
+        # Reading a 2-byte length for those desyncs the scan on real-world
+        # streams (round-2 ADVICE).  Entropy-coded data after SOS (0xDA) is
+        # not marker-structured, so the scan stops there.
+        i, n = 2, len(b)
+        while i + 1 < n:
+            if b[i] != 0xFF:
+                return ("jpeg", None, None)  # desynced / corrupt stream
+            while i + 1 < n and b[i + 1] == 0xFF:
+                i += 1  # 0xFF fill byte padding before the marker code
             marker = b[i + 1]
-            seglen = int.from_bytes(b[i + 2 : i + 4], "big")
-            if marker in (0xC0, 0xC1, 0xC2) and i + 9 <= len(b):
-                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+            i += 2
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                continue  # standalone marker: no length segment
+            if marker == 0xD9:  # EOI
+                break
+            if i + 2 > n:
+                break
+            seglen = int.from_bytes(b[i : i + 2], "big")
+            if seglen < 2:
+                return ("jpeg", None, None)
+            if marker in (0xC0, 0xC1, 0xC2) and i + 7 <= n:
+                h, w = struct.unpack(">HH", b[i + 3 : i + 7])
                 return ("jpeg", w, h)
-            i += 2 + seglen
+            if marker == 0xDA:  # SOS: entropy-coded data follows, stop
+                break
+            i += seglen
         return ("jpeg", None, None)
     return ("unknown", None, None)
 

@@ -174,25 +174,35 @@ def simhash_vectorized(df: DataFrame, text_col: str = "text") -> DataFrame:
     @F.pandas_udf("long")
     def _simhash(text: pd.Series) -> pd.Series:
         import hashlib
+        import re
 
         import numpy as np
 
         b = np.arange(64)
         shifts = (60 - 4 * (b // 4) + (b % 4)).astype(np.uint64)
         pow2 = (np.uint64(1) << b.astype(np.uint64))
-        out = np.zeros(len(text), dtype=np.int64)
+        out: list[int | None] = [None] * len(text)
+        # ASCII-only \s+, exactly Java's regex default (round-2 ADVICE: bare
+        # str.split() splits on Unicode whitespace and drops leading/trailing
+        # empty tokens, diverging from the SQL formulation on dirty text)
+        ws = re.compile(r"\s+", re.ASCII)
         for i, t in enumerate(text):
-            # dict.fromkeys ≙ array_distinct(split(lower(trim(text)), '\s+'));
-            # empty text yields the single empty token, as split() does in SQL
-            toks = dict.fromkeys((t or "").strip().lower().split()) or {"": None}
+            if t is None:
+                continue  # SQL: trim(NULL) → NULL tokens → NULL simhash
+            # ≙ array_distinct(split(lower(trim(text)), '\s+')): SQL trim
+            # strips ASCII spaces ONLY (not \t/\n/NBSP), and Java split keeps
+            # the leading/trailing empty tokens its \s+ boundaries produce
+            toks = dict.fromkeys(ws.split(t.strip(" ").lower()))
             hs = np.frombuffer(
                 b"".join(hashlib.md5(tok.encode()).digest()[:8] for tok in toks),
                 dtype=">u8",
             ).astype(np.uint64)
             bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
             votes = (2 * bits - 1).sum(axis=0)
-            out[i] = (pow2[votes > 0]).sum(dtype=np.uint64).astype(np.int64)
-        return pd.Series(out)
+            out[i] = int((pow2[votes > 0]).sum(dtype=np.uint64).astype(np.int64))
+        # nullable Int64, NOT a bare list: pd.Series([..., None]) coerces to
+        # float64 and silently rounds away the low ~10 bits of 63-bit hashes
+        return pd.Series(out, dtype="Int64")
 
     return df.withColumn("simhash", _simhash(text_col))
 

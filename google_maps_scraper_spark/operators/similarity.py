@@ -274,7 +274,11 @@ def emb_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     mat = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((ids, mat))
-    margin = NEARDUP_THRESHOLD - 5e-4  # keep anything that could round up
+    # keep anything that could round up to the threshold at 3 dp, plus a
+    # float-divergence epsilon: numpy GEMM and the JVM fold sum in different
+    # orders, so a pair sitting exactly on the round-half-up boundary could
+    # otherwise be dropped before the exact JVM re-verification sees it
+    margin = NEARDUP_THRESHOLD - 5e-4 - 1e-6
 
     def gen(batches):
         b_ids, b_mat = bc.value

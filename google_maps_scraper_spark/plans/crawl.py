@@ -526,8 +526,11 @@ class CrawlEngine:
             F.count("*").alias("n"), F.countDistinct("job_id").alias("nd")
         ).head()
         if _p["nd"] < _p["n"]:
+            # deterministic tiebreaker (round-3 ADVICE): two captures with
+            # identical warc_ts must resolve identically across runs — order
+            # ties by a hash of the dispatch output, never by partition luck
             w_cap = Window.partitionBy("job_id").orderBy(
-                F.col("warc_ts").desc_nulls_last()
+                F.col("warc_ts").desc_nulls_last(), F.xxhash64("p").asc()
             )
             processed = (
                 processed.withColumn("_rn", F.row_number().over(w_cap))

@@ -244,3 +244,32 @@ def test_vectorized_variants_equal_hof(spark):
         for r in minhash_signatures(sh, hash_fn="md5").collect()
     }
     assert va == vb
+
+
+def test_simhash_vectorized_dirty_whitespace_parity(spark):
+    """Regression (round-3 ADVICE, medium): the vectorized SimHash must
+    tokenize exactly like the SQL formulation on DIRTY text — SQL trim()
+    strips ASCII spaces only, and Java's \\s+ is ASCII-only and emits
+    leading/trailing empty tokens; bare Python .strip().split() does
+    neither (Unicode whitespace, no empty tokens)."""
+    from google_maps_scraper_spark.operators.dedup_docs import (
+        simhash,
+        simhash_vectorized,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "\tleading tab"),
+            (2, "\ntrailing newline\n"),
+            (3, "nbsp joined tokens"),          # NBSP: not \s in Java
+            (4, "  only-ascii-spaces-trimmed  "),
+            (5, " em-space separated"),    # not \s in Java either
+            (6, ""),
+            (7, None),
+            (8, " \t mixed   ws \n "),
+        ],
+        "doc_id int, text string",
+    )
+    a = {r["doc_id"]: r["simhash"] for r in simhash_vectorized(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash(docs, hash_fn="md5").collect()}
+    assert a == b

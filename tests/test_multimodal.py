@@ -33,3 +33,38 @@ def test_multimodal_image_dims_query(spark):
         assert r["format"] == ("png" if i % 2 == 0 else "jpeg")
         assert r["width"] == 16 + (i * 13) % 2048
         assert r["height"] == 16 + (i * 7) % 2048
+
+
+def test_parse_image_header_standalone_markers():
+    """Regression (round-3 ADVICE, low): real-world JPEG streams carry
+    length-less markers (TEM 0x01, RST0-7) and 0xFF fill/padding bytes; the
+    marker scan must skip them instead of reading a phantom length segment,
+    and must stop at SOS (entropy-coded data is not marker-structured)."""
+    import struct
+
+    from google_maps_scraper_spark.operators.analytics import parse_image_header
+
+    def sof0(w, h):
+        seg = b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00\x00"
+        return b"\xff\xc0" + struct.pack(">H", len(seg) + 2) + seg
+
+    # TEM + RST markers (no length) and 0xFF fill padding before SOF0
+    stream = (
+        b"\xff\xd8"          # SOI
+        + b"\xff\x01"        # TEM: standalone
+        + b"\xff\xd0"        # RST0: standalone
+        + b"\xff\xff\xff\xd7"  # fill byte then RST7
+        + sof0(640, 480)
+        + b"\xff\xd9"        # EOI
+    )
+    assert parse_image_header(stream) == ("jpeg", 640, 480)
+
+    # SOS before any SOF: scan must stop, not walk entropy-coded data
+    sos = b"\xff\xda\x00\x04\x01\x00" + b"\x12\x34\x56\xff\x00\x99"
+    assert parse_image_header(b"\xff\xd8" + sos) == ("jpeg", None, None)
+
+    # desync guard: garbage where a marker should be
+    assert parse_image_header(b"\xff\xd8\x00\x00\x00\x00") == ("jpeg", None, None)
+
+    # zero/invalid length segment must not loop forever
+    assert parse_image_header(b"\xff\xd8\xff\xe0\x00\x00") == ("jpeg", None, None)
