@@ -238,6 +238,102 @@ def _pair_cosine(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+_GEMM_BLOCK_ROWS = 1024   # target rows per block (task GEMM tile height)
+_GEMM_MAX_BLOCKS = 64     # caps block-pair task count at B(B+1)/2 = 2080
+
+
+def neardup_pairs_blocked(
+    emb: DataFrame, block_rows: int = _GEMM_BLOCK_ROWS,
+    max_blocks: int = _GEMM_MAX_BLOCKS,
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs (cos ≥ 0.4 at 3 dp) via a
+    BLOCK-partitioned matrix product — no process ever materializes the whole
+    table (the round-2 shape built its broadcast side with a driver-side
+    ``toPandas()``, making the driver the first casualty at scale; round-2
+    VERDICT #2).
+
+    Shape: rows hash into B blocks; the tiny B(B+1)/2 block-pair grid is
+    broadcast onto the table (each row replicated once per pair it sits in —
+    the only data movement, O(N·B/2) compact rows into one groupBy shuffle);
+    each (bi, bj) group then GEMMs its two tiles with numpy (Arrow-batched,
+    both tiles ≤ ~block_rows × dim doubles — executor-memory-bounded).
+    Survivors (pre-filtered with a margin loose enough to absorb
+    summation-order float divergence) are re-verified JVM-side with the same
+    fold + F.round as the r3 queries, so reported values are engine-exact.
+
+    Scale note: exactness at a 0.4 threshold is inherently Ω(N²) compare
+    work; this distributes it as dense GEMM tiles with bounded task memory.
+    Past GEMM-budget scale, use emb_lsh_neardup_pairs — the banded signature
+    path whose only shuffle is the band groupBy.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    emb = emb.select("vec_id", "embedding")
+    n = emb.count()
+    b_blocks = int(min(max_blocks, max(1, math.ceil(n / max(block_rows, 1)))))
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(b_blocks) for j in range(i, b_blocks)],
+        "bi int, bj int",
+    )
+    blocked = emb.withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.lit(b_blocks)).cast("int")
+    )
+    side_cols = ["bi", "bj", "side", "vec_id", "embedding"]
+    lhs = (
+        F.broadcast(grid).join(blocked, F.col("bi") == F.col("blk"))
+        .select("bi", "bj", F.lit(0).alias("side"), "vec_id", "embedding")
+    )
+    rhs = (
+        F.broadcast(grid.filter(F.col("bi") < F.col("bj")))
+        .join(blocked, F.col("bj") == F.col("blk"))
+        .select("bi", "bj", F.lit(1).alias("side"), "vec_id", "embedding")
+    )
+    tagged = lhs.unionByName(rhs.select(side_cols))
+
+    # margin: anything that could round up to the threshold at 3 dp, plus a
+    # float-divergence epsilon (numpy GEMM and the JVM fold sum in different
+    # orders; a boundary pair must reach the exact JVM re-verification)
+    margin = NEARDUP_THRESHOLD - 5e-4 - 1e-6
+
+    def gemm(key, pdf):
+        bi, bj = key
+        left = pdf[pdf["side"] == 0]
+        l_ids = left["vec_id"].to_numpy()
+        lm = np.stack(left["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+        lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+        if bi == bj:
+            sims = lm @ lm.T
+            ii, jj = np.nonzero((sims >= margin) & (l_ids[:, None] < l_ids[None, :]))
+            return pd.DataFrame(
+                {"vec_a": l_ids[ii].astype("int64"), "vec_b": l_ids[jj].astype("int64")}
+            )
+        right = pdf[pdf["side"] == 1]
+        r_ids = right["vec_id"].to_numpy()
+        rm = np.stack(right["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+        rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+        sims = lm @ rm.T
+        ii, jj = np.nonzero(sims >= margin)
+        va, vb = l_ids[ii], r_ids[jj]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(va, vb).astype("int64"),
+                "vec_b": np.maximum(va, vb).astype("int64"),
+            }
+        )
+
+    cand = tagged.groupBy("bi", "bj").applyInPandas(gemm, "vec_a bigint, vec_b bigint")
+    return (
+        _pair_cosine(emb, cand)
+        .filter(F.col("cos_r3") >= NEARDUP_THRESHOLD)
+        .select("vec_a", "vec_b", "cos_r3")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 @_register(
     "emb_neardup_pairs",
     """
@@ -249,56 +345,9 @@ def _pair_cosine(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     """,
 )
 def emb_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """EXACT embedding-cosine near-duplicate pairs (cos ≥ 0.4 at 3 dp).
-
-    Candidate discovery is a blocked matrix product: the normalized matrix is
-    broadcast once and each partition GEMMs its rows against it (numpy,
-    Arrow-batched) — replacing the round-1 all-pairs non-equi self-join that
-    Spark executed as a 73-second BroadcastNestedLoopJoin over interpreted
-    higher-order functions.  Survivors (pre-filtered with a loose margin) are
-    re-verified JVM-side with the same fold + F.round as the r3 queries, so
-    reported values are engine-exact.
-
-    Scale note: exactness at a 0.4 threshold is inherently Ω(N²) compare
-    work; this shape distributes it as dense GEMM (the cheapest possible
-    form) but still requires the broadcast side to fit an executor.  Past
-    that, use emb_lsh_neardup_pairs — the banded signature path whose only
-    shuffle is the band groupBy.
-    """
-    import numpy as np
-    import pandas as pd
-
-    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
-    pdf = emb.toPandas()  # broadcast side: small at test SFs by design
-    ids = pdf["vec_id"].to_numpy()
-    mat = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
-    # keep anything that could round up to the threshold at 3 dp, plus a
-    # float-divergence epsilon: numpy GEMM and the JVM fold sum in different
-    # orders, so a pair sitting exactly on the round-half-up boundary could
-    # otherwise be dropped before the exact JVM re-verification sees it
-    margin = NEARDUP_THRESHOLD - 5e-4 - 1e-6
-
-    def gen(batches):
-        b_ids, b_mat = bc.value
-        for batch in batches:
-            a_ids = batch["vec_id"].to_numpy()
-            a = np.stack(batch["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            sims = a @ b_mat.T
-            ii, jj = np.nonzero((sims >= margin) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {"vec_a": a_ids[ii].astype("int64"), "vec_b": b_ids[jj].astype("int64")}
-            )
-
-    cand = emb.mapInPandas(gen, "vec_a bigint, vec_b bigint")
-    return (
-        _pair_cosine(emb, cand)
-        .filter(F.col("cos_r3") >= NEARDUP_THRESHOLD)
-        .select("vec_a", "vec_b", "cos_r3")
-        .orderBy("vec_a", "vec_b")
-    )
+    """Catalog entry for the blocked exact near-dup pairs (see
+    ``neardup_pairs_blocked`` for the scale design)."""
+    return neardup_pairs_blocked(load(spark, sf, "embeddings"))
 
 
 @_register(

@@ -33,12 +33,15 @@ Scale notes (100 TB design):
   * per-round checkpointing truncates lineage and gives kill-resume.
 
 Table format: SURVEY.md §7 plans Iceberg with graceful degradation; this
-sandbox ships no Iceberg/Delta jars (checked /opt/spark/jars), so state
-tables are plain parquet snapshots per round + a JSON manifest, with
-MERGE semantics emulated by anti-join/union and atomicity by the
-write-then-flip-LATEST protocol.  Swapping the store for Iceberg tables
-(MERGE INTO frontier/seen, snapshot ids in the manifest) changes only
-``_checkpoint``/``resume``.
+sandbox ships no Iceberg/Delta jars (re-verified round 3: pyspark/jars has
+neither, no delta-spark/pyiceberg pip package, and no network to fetch
+them), so state tables are plain parquet snapshots per round + a JSON
+manifest, with MERGE semantics emulated by anti-join/union, atomicity by
+the write-then-flip-LATEST protocol, and concurrent-writer protection by
+the WRITER fencing token (two engines on one workdir → the stale one
+aborts with ConcurrentWriterError; tests/test_concurrent_writers.py).
+Swapping the store for Iceberg tables (MERGE INTO frontier/seen, snapshot
+ids in the manifest) changes only ``_write_snapshot``/``resume``.
 """
 
 from __future__ import annotations
@@ -49,7 +52,9 @@ import pathlib
 import shutil
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+import uuid
+
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.extractors import dispatch_udf, etld1_col
@@ -70,7 +75,15 @@ from ..schemas import (
     STATUS_NEW,
 )
 
-__all__ = ["CrawlConfig", "CrawlEngine"]
+__all__ = ["CrawlConfig", "CrawlEngine", "ConcurrentWriterError"]
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second engine took over this workdir (its WRITER fencing token
+    changed); the fenced-out writer must abort instead of committing a
+    split-brain snapshot (≙ the reference's single-writer postgres job table
+    guarded by SELECT ... FOR UPDATE SKIP LOCKED claims,
+    postgres/provider.go:148-244)."""
 
 _RESULT_COLS = [f.name for f in RESULT_SCHEMA.fields]
 
@@ -96,6 +109,10 @@ class CrawlConfig:
     # durable-checkpoint cadence: 1 = every round (max resumability); N>1
     # keeps intermediate rounds as in-memory localCheckpoints (lineage still
     # truncated) and writes the durable snapshot every N rounds + at fixpoint.
+    # Durable writes OVERLAP the next round's compute (round-3 driver-latency
+    # work): round N's snapshot commits while round N+1 runs, so a crash can
+    # lose at most the most recent round — resume then deterministically
+    # re-runs it.  finalize()/run() always join and commit the final round.
     broadcast_claim_rows: int = 100_000
     # claims up to this many rows broadcast into the pages join (the huge
     # pages table is then never shuffled); larger claims fall back to a
@@ -133,6 +150,9 @@ class CrawlEngine:
         self.round = 0
         self._cum_claimed = 0
         self._durable_round = -1   # last round with a committed durable snapshot
+        self._writer_id = uuid.uuid4().hex  # fencing token (split-brain guard)
+        self._ckpt_pool = None     # lazy single-thread executor: serializes
+        self._pending_ckpt = None  # the in-flight durable snapshot, if any
         self._bloom = None
         if (config or CrawlConfig()).seen_bloom:
             from ..operators.bloom import BloomFilter
@@ -173,10 +193,11 @@ class CrawlEngine:
         self.round = 0
         if self.workdir.exists():
             shutil.rmtree(self.workdir)
+        self.workdir.mkdir(parents=True, exist_ok=True)
+        self._stamp_writer()
         if self.cfg.checkpoint_every == 1:
             self._checkpoint()  # durable round-0 snapshot (resume-from-seed)
         else:
-            self.workdir.mkdir(parents=True, exist_ok=True)
             self._persist_state()
 
     def seed_from_grid(
@@ -200,7 +221,7 @@ class CrawlEngine:
     # ---------------- state helpers ------------------------------------------
 
     def _stamp_url_cols(self, df: DataFrame) -> DataFrame:
-        return (
+        df = (
             df.withColumn("url_hash", F.xxhash64("url"))
             .withColumn("host", etld1_col(F.col("url")))
             .withColumn(
@@ -208,6 +229,53 @@ class CrawlEngine:
                 F.pmod(F.xxhash64("url"), F.lit(self.cfg.politeness_salts)).cast("int"),
             )
         )
+        # robots gating (engine-new, north_rule) applied at ADMISSION, not at
+        # claim: rules are static for the run, so stamping denial once on the
+        # claim-sized children delta replaces the per-round join over the full
+        # NEW backlog the round-2 engine paid (round-3 VERDICT #8).  Denied
+        # jobs enter the frontier already terminally FAILED — they can never
+        # be claimed, retried, or block the fixpoint.
+        if self.cfg.robots:
+            path = F.regexp_replace(F.col("url"), r"^https?://[^/]+", "")
+            if len(self.cfg.robots) <= 256:
+                # small rule lists fold to one codegen'd predicate: no join
+                denied = F.lit(False)
+                for h, p in self.cfg.robots:
+                    denied = denied | (
+                        (F.col("host") == F.lit(h)) & path.startswith(F.lit(p))
+                    )
+            else:
+                # large rule tables: broadcast left-semi membership flag
+                rules = self.spark.createDataFrame(
+                    self.cfg.robots, "r_host string, path_prefix string"
+                )
+                hit = (
+                    df.withColumn("_path", path)
+                    .join(
+                        F.broadcast(rules),
+                        (F.col("host") == F.col("r_host"))
+                        & F.col("_path").startswith(F.col("path_prefix")),
+                        "left",
+                    )
+                    .groupBy("job_id")
+                    .agg(F.max(F.col("r_host").isNotNull()).alias("_denied"))
+                )
+                df = df.join(hit, "job_id", "left")
+                denied = F.coalesce(F.col("_denied"), F.lit(False))
+            df = (
+                df.withColumn(
+                    "status",
+                    F.when(denied, F.lit(STATUS_FAILED)).otherwise(F.col("status")),
+                )
+                .withColumn(
+                    "round_claimed",
+                    F.when(denied, F.lit(self.round)).otherwise(
+                        F.col("round_claimed")
+                    ),
+                )
+                .drop("_denied")
+            )
+        return df
 
     def _persist_state(self) -> None:
         """Truncate lineage in memory (no durable write) — used between
@@ -241,8 +309,33 @@ class CrawlEngine:
                     ("seen", self._seen),
                 )
             }
-            self._frontier = fs["frontier"].result()
-            self._seen = fs["seen"].result()
+            self._frontier = self._reset_stats(fs["frontier"].result())
+            self._seen = self._reset_stats(fs["seen"].result())
+
+    def _reset_stats(self, df: DataFrame) -> DataFrame:
+        """Rebuild ``df`` as a fresh LogicalRDD leaf over its (already
+        materialized) internal rows, DROPPING propagated plan statistics.
+
+        Why: ``localCheckpoint`` rewrites the original plan's estimated
+        sizeInBytes onto the new leaf.  The round plan joins the frontier
+        against claim-derived state rooted in that same frontier, and the
+        size-only stats visitor MULTIPLIES join children — so the estimate
+        roughly SQUARES every round.  The BigInt's digit count then doubles
+        per round, and by round ~20 Catalyst burns minutes multiplying
+        million-digit numbers inside stats visits (pure planning arithmetic,
+        zero data involved; bisected from a budget-stretched politeness
+        crawl that pinned one core in BigInteger.multiplyToomCook3).
+
+        A fresh leaf restores constant-size stats every round.  The state
+        tables get defaultSizeInBytes, i.e. "too big to auto-broadcast" —
+        exactly right for 10^10-row frontier/seen tables; every broadcast
+        this engine wants is explicit (claim into the pages scan, candidate
+        probe into the seen scan)."""
+        jdf = df._jdf
+        fresh = self.spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(fresh, df.sparkSession)
 
     def _state_partitions(self) -> int:
         """Data-aware partition count for the state tables: ~16 k rows per
@@ -252,54 +345,135 @@ class CrawlEngine:
         cores×tables no-op tasks every round."""
         return int(min(4096, max(8, self._cum_claimed // 8192)))
 
-    def _checkpoint(self) -> None:
-        """Durable snapshot with the write-then-flip protocol: tables land in
-        a temp dir, one atomic rename publishes the round dir, and LATEST (the
-        commit point resume reads) is written last.  A kill at ANY step leaves
-        the previous committed round intact — including a kill mid-write,
-        because the writers never target a directory a live DataFrame (or a
-        committed snapshot) is reading (locked by
-        tests/test_crawl_e2e.py::test_checkpoint_kill_during_write)."""
+    # -- durable checkpoint protocol ------------------------------------------
+    #
+    # Write-then-flip, optionally OVERLAPPED with the next round: tables land
+    # in a temp dir, one atomic rename publishes the round dir, and LATEST
+    # (the commit point resume reads) is flipped last (atomically, via its
+    # own tmp+rename).  A kill at ANY step leaves the previous committed
+    # round intact — the writers never target a directory a live DataFrame or
+    # a committed snapshot is reading (locked by
+    # tests/test_crawl_e2e.py::test_checkpoint_kill_during_write).
+    #
+    # The round-2 engine blocked the driver on the three parquet writes plus
+    # three counter aggregations EVERY durable round — the measured fixed
+    # latency that capped end-to-end scaling at 0.523 (round-2 VERDICT #1).
+    # Round 3 submits the write to a single-thread executor and runs the NEXT
+    # round's claim/dispatch concurrently; the future is joined at the next
+    # round's start (or at finalize), which also surfaces write errors and
+    # re-roots the append-only results table at the committed parquet.
+    # Counters are computed at fixpoint only — mid-run manifests carry null.
+    #
+    # Split-brain fencing: the engine stamps workdir/WRITER with a per-run
+    # token at seed/resume; the snapshot writer re-checks the token right
+    # before the atomic publish and aborts with ConcurrentWriterError if a
+    # second engine took over (advisory — the flip itself stays atomic).
+
+    def _stamp_writer(self) -> None:
+        tmp = self.workdir / ".WRITER.tmp"
+        tmp.write_text(self._writer_id)
+        os.replace(tmp, self.workdir / "WRITER")
+
+    def _check_writer(self) -> None:
+        marker = self.workdir / "WRITER"
+        if marker.exists() and marker.read_text().strip() != self._writer_id:
+            raise ConcurrentWriterError(
+                f"workdir {self.workdir} was taken over by another engine; "
+                "aborting checkpoint (WRITER fencing token changed)"
+            )
+
+    def _write_snapshot(
+        self,
+        rnd: int,
+        frontier: DataFrame,
+        seen: DataFrame,
+        results: DataFrame,
+        bloom_bytes: bytes | None,
+        counters: dict | None,
+    ) -> tuple[int, str]:
+        """Write one committed round snapshot; runs on the checkpoint thread.
+        Returns (round, results_path) for the joiner."""
         from concurrent.futures import ThreadPoolExecutor
 
-        rd = self.workdir / f"round={self.round:04d}"
-        tmp = self.workdir / f".tmp.round={self.round:04d}"
+        self._check_writer()
+        rd = self.workdir / f"round={rnd:04d}"
+        tmp = self.workdir / f".tmp.round={rnd:04d}"
         for stale in (tmp, rd):  # uncommitted leftovers from a crashed attempt
             if stale.exists():
                 shutil.rmtree(stale)
         n = self._state_partitions()
-        with ThreadPoolExecutor(max_workers=4) as ex:
+        with ThreadPoolExecutor(max_workers=3) as ex:
             list(ex.map(
                 lambda nd: nd[1].coalesce(n).write.mode("overwrite").parquet(
                     str(tmp / nd[0])
                 ),
-                (
-                    ("frontier", self._frontier),
-                    ("seen", self._seen),
-                    ("results", self._results),
-                ),
+                (("frontier", frontier), ("seen", seen), ("results", results)),
             ))
-        if self._bloom is not None:
-            (tmp / "bloom.bin").write_bytes(self._bloom.to_bytes())
-        os.replace(tmp, rd)  # atomic publish
-        # re-read: truncates lineage, makes state immutable on disk, and lets
-        # the manifest counters run against parquet scans (count() is
-        # metadata-only there) instead of re-evaluating the lazy plans.
+        if bloom_bytes is not None:
+            (tmp / "bloom.bin").write_bytes(bloom_bytes)
+        manifest = {
+            "round": rnd,
+            "counters": counters,
+            "tables": {name: str(rd / name) for name in ("frontier", "seen", "results")},
+            "bloom": (
+                {"m_bits": self._bloom.m_bits, "k": self._bloom.k}
+                if bloom_bytes is not None else None
+            ),
+        }
+        (tmp / "manifest.json").write_text(json.dumps(manifest, indent=2))
+        self._check_writer()      # fencing: re-verify right before commit
+        os.replace(tmp, rd)       # atomic publish
+        latest_tmp = self.workdir / ".LATEST.tmp"
+        latest_tmp.write_text(str(rnd))
+        os.replace(latest_tmp, self.workdir / "LATEST")
+        return rnd, str(rd / "results")
+
+    def _checkpoint_async(self, counters: dict | None = None) -> None:
+        """Submit the durable snapshot of the CURRENT state and return —
+        the write overlaps the next round's claim/dispatch compute.  State
+        must already be materialized (``_persist_state``): the writers then
+        stream executor-local blocks instead of recomputing plans."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._join_pending_checkpoint()   # serialize rounds; surface errors
+        if self._ckpt_pool is None:
+            self._ckpt_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="gms-ckpt"
+            )
+        bloom_bytes = self._bloom.to_bytes() if self._bloom is not None else None
+        self._pending_ckpt = self._ckpt_pool.submit(
+            self._write_snapshot,
+            self.round, self._frontier, self._seen, self._results,
+            bloom_bytes, counters,
+        )
+
+    def _join_pending_checkpoint(self) -> None:
+        """Block on the in-flight snapshot (if any).  Re-raises write errors
+        and re-roots ``results`` at the committed parquet — valid because
+        submits happen at round end and joins at the next round's start, so
+        no deltas were appended in between."""
+        f, self._pending_ckpt = self._pending_ckpt, None
+        if f is None:
+            return
+        rnd, results_path = f.result()
+        self._durable_round = rnd
+        self._results = self.spark.read.schema(RESULT_SCHEMA).parquet(results_path)
+
+    def _checkpoint(self) -> None:
+        """Synchronous durable snapshot (seed round-0 and finalize): write,
+        commit, then re-root ALL state at the committed parquet (metadata-only
+        counts for any later aggregation; lineage fully truncated)."""
+        self._join_pending_checkpoint()
+        rnd, _ = self._write_snapshot(
+            self.round, self._frontier, self._seen, self._results,
+            self._bloom.to_bytes() if self._bloom is not None else None,
+            self.counters(),
+        )
+        rd = self.workdir / f"round={rnd:04d}"
         self._frontier = self.spark.read.schema(FRONTIER_SCHEMA).parquet(str(rd / "frontier"))
         self._seen = self.spark.read.schema(SEEN_SCHEMA).parquet(str(rd / "seen"))
         self._results = self.spark.read.schema(RESULT_SCHEMA).parquet(str(rd / "results"))
-        manifest = {
-            "round": self.round,
-            "counters": self.counters(),
-            "tables": {n: str(rd / n) for n in ("frontier", "seen", "results")},
-            "bloom": (
-                {"m_bits": self._bloom.m_bits, "k": self._bloom.k}
-                if self._bloom is not None else None
-            ),
-        }
-        (rd / "manifest.json").write_text(json.dumps(manifest, indent=2))
-        (self.workdir / "LATEST").write_text(str(self.round))
-        self._durable_round = self.round
+        self._durable_round = rnd
 
     @classmethod
     def resume(
@@ -313,6 +487,7 @@ class CrawlEngine:
         partially written round directory is ignored until LATEST points at
         it, and LATEST is written last)."""
         eng = cls(spark, pages, workdir, config)
+        eng._stamp_writer()  # take over: fences out any still-live old writer
         latest = int((eng.workdir / "LATEST").read_text().strip())
         rd = eng.workdir / f"round={latest:04d}"
         manifest = json.loads((rd / "manifest.json").read_text())
@@ -343,36 +518,15 @@ class CrawlEngine:
 
     # ---------------- round ---------------------------------------------------
 
-    def _claim(self) -> tuple[DataFrame, DataFrame, DataFrame]:
-        """Select this round's jobs.
-        Returns (claimed, skipped_robots, claim_eligible_new)."""
+    def _claim(self) -> tuple[DataFrame, DataFrame]:
+        """Select this round's jobs.  Returns (claimed, claim_eligible_new).
+        Robots-denied jobs never reach here — they are stamped terminally
+        FAILED at admission (``_stamp_url_cols``), so the per-round claim is
+        a pure status filter + politeness window with no joins."""
         new = self._frontier.filter(F.col("status") == STATUS_NEW)
 
-        # robots gating (engine-new): deny rows whose (host, path prefix) hits
-        # a disallow rule; denied jobs fail terminally.
-        if self.cfg.robots:
-            robots_df = self.spark.createDataFrame(
-                self.cfg.robots, "host string, path_prefix string"
-            ).withColumnRenamed("host", "r_host")
-            path = F.regexp_replace(F.col("url"), r"^https?://[^/]+", "")
-            new = new.withColumn("_path", path)
-            joined = new.join(
-                F.broadcast(robots_df),
-                (F.col("host") == F.col("r_host"))
-                & F.col("_path").startswith(F.col("path_prefix")),
-                "left",
-            )
-            denied = joined.filter(F.col("r_host").isNotNull()).drop(
-                "r_host", "path_prefix", "_path"
-            ).dropDuplicates(["job_id"])
-            new = joined.filter(F.col("r_host").isNull()).drop(
-                "r_host", "path_prefix", "_path"
-            )
-        else:
-            denied = None
-
         if self.cfg.host_budget is None:
-            return new, denied, new
+            return new, new
 
         # politeness: exact per-host budget B distributed over S salt shards
         # (shard s gets B//S plus one of the B%S remainder units); rank
@@ -391,7 +545,7 @@ class CrawlEngine:
         shard_budget = F.lit(b // s) + (rotated < F.lit(b % s)).cast("int")
         ranked = new.withColumn("_rk", F.row_number().over(w))
         claimed = ranked.filter(F.col("_rk") <= shard_budget).drop("_rk")
-        return claimed, denied, new
+        return claimed, new
 
     def run_round(self) -> dict:
         """Execute one round; returns per-round stats.
@@ -403,43 +557,26 @@ class CrawlEngine:
         column dies inside that stage: only the compact dispatch output is
         materialized, so executor/driver memory scales with results, never
         with page bodies."""
+        # join the PREVIOUS round's overlapped durable write first: surfaces
+        # any write error, advances _durable_round, re-roots results — and
+        # only then start this round's work (serializes snapshots without
+        # ever blocking the driver during the write itself).
+        self._join_pending_checkpoint()
         self.round += 1
         cfg = self.cfg
-        claimed, denied, eligible = self._claim()
+        claimed, eligible = self._claim()
+        # claim counts ride the materialization job as observed metrics — no
+        # separate count() action per round (round-3 driver-latency work)
+        obs = Observation()
+        claimed = claimed.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.count("payload").alias("n_payload"),
+        )
         claimed = claimed.coalesce(self._state_partitions()).localCheckpoint(eager=True)
-        _c = claimed.agg(
-            F.count("*").alias("n"), F.count("payload").alias("n_payload")
-        ).head()
+        _c = obs.get
         n_claimed, n_payload = _c["n"], _c["n_payload"]
         if n_claimed == 0:
-            # Robots-denied NEW jobs with nothing claimable alongside them
-            # must still flip to terminal FAILED — otherwise the fixpoint
-            # exit below leaves them status NEW forever (counters would
-            # report *_new instead of *_failed).
-            n_denied = denied.count() if denied is not None else 0
-            if n_denied > 0:
-                self._frontier = (
-                    self._frontier.join(
-                        denied.select(
-                            "job_id", F.lit(STATUS_FAILED).alias("new_status")
-                        ),
-                        "job_id",
-                        "left",
-                    )
-                    .withColumn("status", F.coalesce("new_status", "status"))
-                    .withColumn(
-                        "round_claimed",
-                        F.when(
-                            F.col("new_status").isNotNull(), F.lit(self.round)
-                        ).otherwise(F.col("round_claimed")),
-                    )
-                    .drop("new_status")
-                )
-                if self.round % max(self.cfg.checkpoint_every, 1) == 0:
-                    self._checkpoint()
-                else:
-                    self._persist_state()
-                return {"claimed": 0, "denied_failed": n_denied, "done": False}
             # Empty claim ≠ fixpoint when budget-remainder rotation is live:
             # with host_budget < politeness_salts a round's rotation can meet
             # only empty shards while other shards still hold NEW jobs
@@ -541,11 +678,16 @@ class CrawlEngine:
         processed = processed.drop("warc_ts")
         n_missing = n_claimed - _p["nd"]
         if n_missing > 0:
+            # Lazy, not checkpointed (round-3 driver-latency work): the
+            # anti-join is claim-sized vs claim-sized over in-memory blocks
+            # and the dispatch UDF short-circuits on null html, so the few
+            # consumers that re-evaluate it inside the round-end
+            # materializations cost less than a blocking driver action here.
             slim_all = claim_np.unionByName(claim_p)
             missing = dispatch(
                 slim_all.join(processed.select("job_id"), "job_id", "left_anti")
                 .withColumn("html", F.lit(None).cast("binary"))
-            ).localCheckpoint(eager=True)
+            )
             processed_all = processed.unionByName(missing.select(processed.columns))
         else:
             processed_all = processed
@@ -731,22 +873,12 @@ class CrawlEngine:
         )
 
         # --- status flips -----------------------------------------------------
+        # (robots denials never appear here: they are stamped terminally
+        # FAILED at admission and are never claimed — see _stamp_url_cols)
         status_of_claimed = processed_all.select(
             "job_id",
             F.col("p.new_status").alias("new_status"),
-            F.lit(False).alias("terminal"),
         )
-        if denied is not None:
-            # robots denials are terminal: flagged so the retryable branch
-            # below can never flip them back to NEW (a denied URL is denied
-            # on every future round — retrying it only starves the fixpoint).
-            status_of_claimed = status_of_claimed.unionByName(
-                denied.select(
-                    "job_id",
-                    F.lit(STATUS_FAILED).alias("new_status"),
-                    F.lit(True).alias("terminal"),
-                )
-            )
 
         new_children = place_jobs.unionByName(
             email_jobs.select(place_jobs.columns)
@@ -761,7 +893,6 @@ class CrawlEngine:
         retryable = (
             (F.col("new_status") == STATUS_FAILED)
             & (F.col("retries") < F.col("max_retries"))
-            & ~F.coalesce(F.col("terminal"), F.lit(False))
         )
         updated_frontier = (
             self._frontier.join(status_of_claimed, "job_id", "left")
@@ -781,7 +912,7 @@ class CrawlEngine:
                     F.col("round_claimed")
                 ),
             )
-            .drop("new_status", "terminal")
+            .drop("new_status")
             .unionByName(new_children)
         )
 
@@ -802,10 +933,12 @@ class CrawlEngine:
         self._results = self._results.unionByName(
             results_now.unionByName(email_results)
         )
+        # in-memory materialization every round (claim windows + anti-joins
+        # read these next round); the durable parquet snapshot is submitted
+        # to the background writer and overlaps the next round's compute.
+        self._persist_state()
         if self.round % max(self.cfg.checkpoint_every, 1) == 0:
-            self._checkpoint()
-        else:
-            self._persist_state()
+            self._checkpoint_async()
         return stats
 
     def run(self) -> dict:
@@ -814,13 +947,29 @@ class CrawlEngine:
             stats = self.run_round()
             if stats.get("done"):
                 break
-        if self._durable_round != self.round:
-            # durable snapshot at fixpoint — skipped when the final round
-            # already committed one (round % checkpoint_every == 0): a second
-            # overwrite would target the very parquet dirs the state
-            # DataFrames are lazily reading and destroy the last checkpoint.
-            self._checkpoint()
+        self.finalize()
         return self.counters()
+
+    def finalize(self) -> None:
+        """Public commit seam (used by jobs-mode and run()): join any
+        in-flight overlapped snapshot, then ensure the CURRENT round has a
+        committed durable snapshot with final counters in its manifest.
+        Skipped when the final round's write already committed — a second
+        overwrite would target the very parquet dirs the re-rooted state
+        DataFrames are reading and destroy the last checkpoint."""
+        self._join_pending_checkpoint()
+        if self._durable_round != self.round:
+            self._checkpoint()
+            return
+        # final round's overlapped write already committed: backfill the
+        # manifest's counters (mid-run manifests carry null by design)
+        rd = self.workdir / f"round={self.round:04d}"
+        mpath = rd / "manifest.json"
+        if mpath.exists():
+            manifest = json.loads(mpath.read_text())
+            if manifest.get("counters") is None:
+                manifest["counters"] = self.counters()
+                mpath.write_text(json.dumps(manifest, indent=2))
 
     # ---------------- outputs -------------------------------------------------
 

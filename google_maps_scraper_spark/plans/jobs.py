@@ -27,6 +27,7 @@ import json
 import os
 import shutil
 import tempfile
+import threading
 import time
 import uuid
 from dataclasses import asdict, dataclass, field
@@ -88,6 +89,13 @@ class JobRunner:
         self.pages = pages
         self.data_dir = data_dir
         self.now_micros = now_micros
+        # One lock guards ALL job-store mutations (the dict + jobs.json) —
+        # shared with the HTTP handlers (round-3 ADVICE: the work loop used
+        # to call run_pending() outside the handler lock, so a concurrent
+        # POST/DELETE could mutate the dict while _persist iterated it,
+        # killing the worker thread).  RLock: store methods call each other.
+        # The long Spark runs themselves execute OUTSIDE the lock.
+        self.lock = threading.RLock()
         os.makedirs(data_dir, exist_ok=True)
         self._store = os.path.join(data_dir, "jobs.json")
         self._jobs: dict[str, Job] = {}
@@ -98,32 +106,37 @@ class JobRunner:
     # ---- store (≙ web.Service Create/Get/Delete/SelectPending/Update) -----
 
     def _persist(self) -> None:
-        tmp = self._store + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump([j.to_dict() for j in self._jobs.values()], f, indent=2)
-        os.replace(tmp, self._store)
+        with self.lock:
+            tmp = self._store + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump([j.to_dict() for j in self._jobs.values()], f, indent=2)
+            os.replace(tmp, self._store)
 
     def submit(self, data: JobData, name: str = "", job_id: str | None = None) -> str:
         jid = job_id or str(uuid.uuid4())
-        self._jobs[jid] = Job(
-            id=jid, name=name or jid[:8], status=STATUS_PENDING,
-            date=dt.datetime.now(dt.timezone.utc).isoformat(), data=data,
-        )
-        self._persist()
+        with self.lock:
+            self._jobs[jid] = Job(
+                id=jid, name=name or jid[:8], status=STATUS_PENDING,
+                date=dt.datetime.now(dt.timezone.utc).isoformat(), data=data,
+            )
+            self._persist()
         return jid
 
     def get(self, job_id: str) -> Job:
-        return self._jobs[job_id]
+        with self.lock:
+            return self._jobs[job_id]
 
     def delete(self, job_id: str) -> None:
-        self._jobs.pop(job_id, None)
+        with self.lock:
+            self._jobs.pop(job_id, None)
+            self._persist()
         csv = self.csv_path(job_id)
         if os.path.exists(csv):
             os.remove(csv)
-        self._persist()
 
     def all(self) -> list[Job]:
-        return sorted(self._jobs.values(), key=lambda j: j.date)
+        with self.lock:
+            return sorted(self._jobs.values(), key=lambda j: j.date)
 
     def select_pending(self) -> list[Job]:
         return [j for j in self.all() if j.status == STATUS_PENDING]
@@ -143,8 +156,9 @@ class JobRunner:
         return touched
 
     def _set_status(self, job: Job, status: str) -> None:
-        job.status = status
-        self._persist()
+        with self.lock:
+            job.status = status
+            self._persist()
 
     def _scrape_job(self, job: Job) -> None:
         """≙ webrunner.scrapeJob (webrunner.go:140-260)."""
@@ -192,8 +206,7 @@ class JobRunner:
                     break
                 if time.monotonic() > deadline:
                     break  # deadline hit: keep what completed (≙ ctx timeout)
-            if eng._durable_round != eng.round:
-                eng._checkpoint()
+            eng.finalize()
             write_single_csv(eng.results, self.csv_path(job.id))
 
     def _run_fast(self, job: Job) -> None:

@@ -562,8 +562,11 @@ def corpus_to_spark(spark, corpus: SyntheticCorpus):
 
 
 def _dist_meta(s: int, p: int, seed: int, cat: str, city: str, country: str,
-               tz: str, clat: float, clon: float, url: str) -> dict:
-    """Deterministic per-place metadata for the distributed generator."""
+               tz: str, clat: float, clon: float, url: str,
+               skew_host_fraction: float = 0.5) -> dict:
+    """Deterministic per-place metadata for the distributed generator.
+    ``skew_host_fraction`` of websites land on ONE dominant eTLD+1 (the
+    politeness-skew knob tools/bench_skew.py sweeps)."""
     rng = random.Random(f"{seed}-{s}-{p}")
     pid = f"{s:04d}-{p:04d}"
     h1 = hashlib.sha256(f"hex1-{seed}-{pid}".encode()).hexdigest()[:16]
@@ -574,7 +577,11 @@ def _dist_meta(s: int, p: int, seed: int, cat: str, city: str, country: str,
     if social:
         website = f"https://facebook.com/{pid}"
     elif has_site:
-        host = _HOST_POOL[0] if rng.random() < 0.5 else rng.choice(_HOST_POOL[1:])
+        host = (
+            _HOST_POOL[0]
+            if rng.random() < skew_host_fraction
+            else rng.choice(_HOST_POOL[1:])
+        )
         website = f"https://{host}/biz/{pid}"
     else:
         website = ""
@@ -658,15 +665,24 @@ def generate_corpus_spark(
     places_per_serp: int,
     dup_fraction: float = 0.3,
     seed: int = 42,
+    skew_host_fraction: float = 0.5,
+    extra_review_pages: int = 0,
 ):
     """Distributed synthetic corpus (same page shapes as ``generate_corpus``)
     built inside executors via ``mapInPandas`` — the driver never touches a
     page body, so corpus size scales with the cluster, not the driver.
 
+    ``skew_host_fraction``: share of place websites on one dominant eTLD+1
+    (host-skew benchmarking).  ``extra_review_pages`` > 0 adds the
+    review-RPC chain pages (1..N pages of 3 reviews per place, keyed exactly
+    as the engine builds listugcposts continuation URLs) so
+    ``extra_reviews=True`` crawls are exercisable at bench scale.
+
     Returns ``(pages_df, seeds)`` where seeds is the (query, custom_id) list.
     """
     import pandas as pd
 
+    from ..extract.urls import build_review_rpc_url
     from ..schemas import PAGES_SCHEMA
 
     n_dups = int(places_per_serp * dup_fraction)
@@ -681,7 +697,8 @@ def generate_corpus_spark(
                     continue  # duplicate slot — page exists at its target
                 rs, rp, url = _dist_url(s, p, seed, per_serp, n_dups)
                 cat, city, country, tz, clat, clon = _dist_ctx(rs)
-                meta = _dist_meta(rs, rp, seed, cat, city, country, tz, clat, clon, url)
+                meta = _dist_meta(rs, rp, seed, cat, city, country, tz, clat,
+                                  clon, url, skew_host_fraction)
                 ts = _EPOCH + dt.timedelta(seconds=int(gid) % 86400)
                 if meta["malformed"]:
                     html = ("<html><script>window.APP_INITIALIZATION_STATE="
@@ -690,6 +707,37 @@ def generate_corpus_spark(
                 else:
                     html = _place_html(meta)
                 rows.append((url, ts.replace(tzinfo=None), html.encode(), "", "en"))
+                if extra_review_pages > 0 and not meta["malformed"]:
+                    # review-RPC chain, keyed exactly like the local
+                    # generator (and the engine's continuation URLs)
+                    rng = random.Random(f"{seed}-xrev-{rs}-{rp}")
+                    pid = f"{rs:04d}-{rp:04d}"
+                    name = meta["title"]
+                    n_pages = rng.randint(1, extra_review_pages)
+                    per_page = 3
+                    token = ""
+                    for k in range(n_pages):
+                        page_revs = [
+                            {
+                                "review_id": f"xrev-{pid}-{k}-{i}",
+                                "posted_micros": 1710000000000000
+                                + rng.randint(0, 10**12),
+                                "author_url": f"https://www.google.com/maps/contrib/1{rng.randint(10**19, 10**20 - 1)}",
+                                "author": f"XReviewer {pid}-{k}-{i}",
+                                "profile_pic": f"https://lh3.example.com/x/{pid}-{k}-{i}=w36",
+                                "when": f"{i + 1} weeks ago",
+                                "rating": rng.randint(1, 5),
+                                "text": f"Extended review {k}/{i} of {name}.",
+                            }
+                            for i in range(per_page)
+                        ]
+                        nxt = f"tok-{pid}-{k + 1}" if k + 1 < n_pages else ""
+                        rpc_url = build_review_rpc_url(url, token, 20, "0" * 21)
+                        rows.append((
+                            rpc_url, ts.replace(tzinfo=None),
+                            _review_rpc_page(page_revs, nxt).encode(), "", "en",
+                        ))
+                        token = nxt
                 website = meta["website_raw"]
                 if website and not meta["social"]:
                     host = website.split("/")[2]

@@ -127,6 +127,10 @@ def test_resume_equivalence(spark, corpus, tmp_path_factory, engine_out):
     eng1 = CrawlEngine(spark, pages_df, wd, cfg)
     eng1.seed_from_queries(seeds)
     eng1.run_round()  # only round 1, then "crash"
+    # durable commits overlap the next round since round 3: pin the crash
+    # AFTER round 1's commit (the crash-before-commit variant — resume from
+    # the previous round — is covered by test_checkpoint_kill_during_write)
+    eng1._join_pending_checkpoint()
     del eng1
 
     eng2 = CrawlEngine.resume(spark, pages_df, wd, cfg)
@@ -170,9 +174,12 @@ def test_fixpoint_even_round_checkpoint(spark, corpus, tmp_path_factory, engine_
 
 
 def test_checkpoint_kill_during_write(spark, corpus, tmp_path_factory, engine_out, monkeypatch):
-    """Kill injected INSIDE _checkpoint (at the atomic publish step): the
-    previous committed round must survive untouched, and resume + rerun must
-    reach the same final results (write-then-flip protocol proof)."""
+    """Kill injected INSIDE the snapshot writer (at the atomic publish step):
+    the previous committed round must survive untouched, and resume + rerun
+    must reach the same final results (write-then-flip protocol proof).
+    Durable writes are overlapped with the next round since round 3, so the
+    injected error surfaces at the JOIN point (next run_round/finalize), not
+    inside the round that submitted the write."""
     import google_maps_scraper_spark.plans.crawl as crawl_mod
 
     eng_full, counters = engine_out
@@ -182,7 +189,8 @@ def test_checkpoint_kill_during_write(spark, corpus, tmp_path_factory, engine_ou
     cfg = CrawlConfig(extract_email=True, now_micros=NOW)
     eng = CrawlEngine(spark, pages_df, wd, cfg)
     eng.seed_from_queries(seeds)
-    eng.run_round()  # round 1 committed
+    eng.run_round()  # round 1 submitted
+    eng._join_pending_checkpoint()  # round-1 snapshot durably committed
 
     real_replace = crawl_mod.os.replace
 
@@ -190,8 +198,9 @@ def test_checkpoint_kill_during_write(spark, corpus, tmp_path_factory, engine_ou
         raise RuntimeError("injected kill during checkpoint publish")
 
     monkeypatch.setattr(crawl_mod.os, "replace", boom)
+    eng.run_round()  # round 2: overlapped checkpoint dies in the background
     with pytest.raises(RuntimeError, match="injected kill"):
-        eng.run_round()  # round 2 checkpoint dies mid-flight
+        eng.finalize()  # join point re-raises the write error
     monkeypatch.setattr(crawl_mod.os, "replace", real_replace)
     del eng
 

@@ -273,3 +273,19 @@ def test_simhash_vectorized_dirty_whitespace_parity(spark):
     a = {r["doc_id"]: r["simhash"] for r in simhash_vectorized(docs).collect()}
     b = {r["doc_id"]: r["simhash"] for r in simhash(docs, hash_fn="md5").collect()}
     assert a == b
+
+
+def test_neardup_blocked_gemm_multiblock_equals_single(spark):
+    """Regression (round-3 VERDICT #2): the exact near-dup path must not
+    materialize the table in any single process.  Forcing many small blocks
+    (B > 1 block-pair GEMM tiles) must reproduce the single-tile result
+    exactly — same pairs, same 3-dp cosines."""
+    from google_maps_scraper_spark.operators.similarity import (
+        neardup_pairs_blocked,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    single = [tuple(r) for r in neardup_pairs_blocked(emb, block_rows=10**9).collect()]
+    multi = [tuple(r) for r in neardup_pairs_blocked(emb, block_rows=40).collect()]
+    assert len(single) > 0
+    assert multi == single

@@ -85,3 +85,62 @@ def test_rest_validation(served):
     assert code == 404
     code, _, _ = _req("GET", f"{base}/api/v1/jobs/unknown-id")
     assert code == 404
+
+
+def test_html_ui_form_submit_and_job_table(served):
+    """HTML UI slice (≙ web/web.go:53-69 `/`, `/scrape`, `/jobs`): the form
+    path must create a real job that runs to ok and shows in the rendered
+    job table, and /api/docs must serve an OpenAPI document."""
+    import urllib.parse
+
+    base, runner, queries = served
+
+    # landing page renders the submit form + job table
+    code, raw, headers = _req("GET", f"{base}/")
+    assert code == 200 and headers["Content-Type"].startswith("text/html")
+    assert b'action="/scrape"' in raw and b'<table id="jobs"' in raw
+
+    # form POST → 303 back to the job list (no JSON client involved)
+    form = urllib.parse.urlencode(
+        {"name": "ui-job", "keywords": "\n".join(queries), "lang": "en",
+         "depth": "10", "zoom": "15", "radius": "10000"}
+    ).encode()
+    req = urllib.request.Request(f"{base}/scrape", data=form, method="POST")
+    req.add_header("Content-Type", "application/x-www-form-urlencoded")
+
+    class _NoRedirect(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, *a, **k):
+            return None
+
+    opener = urllib.request.build_opener(_NoRedirect)
+    try:
+        r = opener.open(req)
+        code, headers = r.status, dict(r.headers)
+    except urllib.error.HTTPError as e:
+        code, headers = e.code, dict(e.headers)
+    assert code == 303 and headers["Location"] == "/"
+
+    jobs = [j for j in runner.all() if j.name == "ui-job"]
+    assert len(jobs) == 1 and jobs[0].data.keywords == queries
+
+    runner.run_pending()
+    code, raw, _ = _req("GET", f"{base}/jobs")
+    assert code == 200
+    assert b"ui-job" in raw and b">ok<" in raw
+
+    # missing keywords → 422, no job created
+    req = urllib.request.Request(
+        f"{base}/scrape", data=b"keywords=", method="POST"
+    )
+    req.add_header("Content-Type", "application/x-www-form-urlencoded")
+    try:
+        r = opener.open(req)
+        code = r.status
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 422
+
+    code, raw, _ = _req("GET", f"{base}/api/docs")
+    assert code == 200
+    docs = json.loads(raw)
+    assert docs["openapi"].startswith("3.") and "/api/v1/jobs" in docs["paths"]

@@ -82,3 +82,30 @@ def test_reviews_chain_rounds(engine_out):
     }
     assert kinds.get("reviews", 0) > 0
     assert counters.get("reviews_new", 0) == 0  # all chains drained
+
+
+def test_distributed_corpus_review_chains(spark, tmp_path):
+    """The DISTRIBUTED corpus generator must emit review-RPC chain pages the
+    engine can actually walk (round-3: extra_reviews joins the bench-scale
+    corpus; previously only the driver-local generator produced chains)."""
+    from google_maps_scraper_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from google_maps_scraper_spark.sources.corpus import generate_corpus_spark
+
+    pages, seeds = generate_corpus_spark(
+        spark, n_seeds=2, places_per_serp=4, extra_review_pages=3, seed=5
+    )
+    pages = pages.localCheckpoint(eager=True)
+    eng = CrawlEngine(
+        spark, pages, str(tmp_path / "wd"),
+        CrawlConfig(extra_reviews=True, now_micros=1786838400000000),
+    )
+    eng.seed_from_queries(seeds)
+    counters = eng.run()
+    # chains ran: reviews jobs existed and completed
+    assert counters.get("reviews_done", 0) > 0
+    assert counters.get("reviews_new", 0) == 0
+    # extended reviews made it into the emitted entries
+    n_ext = eng.results.filter(
+        "canonical_json LIKE '%XReviewer%'"
+    ).count()
+    assert n_ext > 0

@@ -89,6 +89,9 @@ def run_level(cpus: int, pages_path: str, workroot: str, seeds_path: str) -> Non
         spark, pages, wd,
         CrawlConfig(
             extract_email=True, max_rounds=16, checkpoint_every=100,
+            # review-RPC chain phase (GMS_SCALING_EXTRA_REVIEWS=1): exercises
+            # the payload-bearing reviews continuation jobs at bench scale
+            extra_reviews=os.environ.get("GMS_SCALING_EXTRA_REVIEWS") == "1",
             # claims stay broadcast-side up to 4M rows: even a ~600 MB slim
             # broadcast beats shuffling the (html-bearing) pages table
             broadcast_claim_rows=4_000_000,
@@ -170,7 +173,16 @@ def main() -> None:
         spark = get_spark(app_name="gms-scaling-gen", master="local[32]",
                           shuffle_partitions=32)
         spark.sparkContext.setLogLevel("ERROR")
-        pages, seeds = generate_corpus_spark(spark, n_seeds, per_serp)
+        pages, seeds = generate_corpus_spark(
+            spark, n_seeds, per_serp,
+            # GMS_SCALING_SKEW: fraction of place websites on ONE dominant
+            # eTLD+1 (host-skew phase); GMS_SCALING_EXTRA_REVIEWS=1 adds
+            # review-RPC chain pages so the reviews continuation is exercised
+            skew_host_fraction=float(os.environ.get("GMS_SCALING_SKEW", "0.5")),
+            extra_review_pages=(
+                3 if os.environ.get("GMS_SCALING_EXTRA_REVIEWS") == "1" else 0
+            ),
+        )
         pages.write.mode("overwrite").parquet(pages_path)
         n_pages = spark.read.parquet(pages_path).count()
         spark.stop()
