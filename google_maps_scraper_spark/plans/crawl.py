@@ -38,8 +38,12 @@ neither, no delta-spark/pyiceberg pip package, and no network to fetch
 them), so state tables are plain parquet snapshots per round + a JSON
 manifest, with MERGE semantics emulated by anti-join/union, atomicity by
 the write-then-flip-LATEST protocol, and concurrent-writer protection by
-the WRITER fencing token (two engines on one workdir → the stale one
-aborts with ConcurrentWriterError; tests/test_concurrent_writers.py).
+the WRITER fencing token plus a LATEST-regression refusal at publish time
+(two engines on one workdir → the stale one aborts with
+ConcurrentWriterError; tests/test_concurrent_writers.py).  Snapshot TIME
+TRAVEL (≙ Iceberg rollback_to_snapshot) via ``resume(from_round=N)`` and
+keep-last-K retention (≙ expire_snapshots) via ``CrawlConfig.keep_rounds``
+close the remaining table-format gap (tests/test_time_travel.py).
 Swapping the store for Iceberg tables (MERGE INTO frontier/seen, snapshot
 ids in the manifest) changes only ``_write_snapshot``/``resume``.
 """
