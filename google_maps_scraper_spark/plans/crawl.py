@@ -901,15 +901,25 @@ class CrawlEngine:
                 F.col("p.reviews_next.payload").alias("payload"),
             )
             stamped = self._stamp_url_cols(claim)
-            denied = stamped.filter(F.col("status") != STATUS_NEW)
-            chain_records.append(denied)
-            live = stamped.filter(F.col("status") == STATUS_NEW)
+            if cfg.robots:  # without rules `denied` is provably empty — do
+                # not grow the frontier-union plan by an empty branch per hop
+                chain_records.append(stamped.filter(F.col("status") != STATUS_NEW))
+                live = stamped.filter(F.col("status") == STATUS_NEW)
+            else:
+                live = stamped
             # fetch: broadcast KEYS only (chain payloads are multi-KB review
             # accumulators — never broadcast), shuffle-join html back; the
             # html column is born in the scan and dies in this hop's
-            # dispatch.  Dup captures resolve per job by latest warc_ts with
-            # a deterministic content-hash tiebreak; misses keep a null-html
-            # row via the left join (dispatch marks them failed).
+            # dispatch.  Misses keep a null-html row via the left join
+            # (dispatch marks them failed, as the reference's fetch-error
+            # path Processes).  Dup captures (multiple warc_ts per url) are
+            # DETECTED from the hop's observed row count and only then paid
+            # for: the resolving window shuffles claim-sized html, so the
+            # dup-free common case must not run it every hop (same
+            # detect-then-diagnose shape as the main fetch above).  With
+            # robots rules live the pre-fetch live-count is unknown without
+            # an action, so that rare configuration keeps the deterministic
+            # window unconditionally.
             keys = live.select("job_id", "url")
             got = pages.join(
                 F.broadcast(keys) if n_next <= cfg.broadcast_claim_rows else keys,
@@ -918,23 +928,35 @@ class CrawlEngine:
             w_cap = Window.partitionBy("job_id").orderBy(
                 F.col("warc_ts").desc_nulls_last(), F.xxhash64("html").asc()
             )
-            got = (
-                got.withColumn("_rn", F.row_number().over(w_cap))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
-            cobs = Observation()
-            cproc = (
-                dispatch(live.join(got, "job_id", "left"))
-                .drop("warc_ts")
-                .observe(
-                    cobs,
-                    F.count(F.lit(1)).alias("n"),
-                    F.count(F.col("p.reviews_next.url")).alias("n_next"),
+
+            def _hop(got_df):
+                cobs = Observation()
+                cp = (
+                    dispatch(live.join(got_df, "job_id", "left"))
+                    .drop("warc_ts")
+                    .observe(
+                        cobs,
+                        F.count(F.lit(1)).alias("n"),
+                        F.count(F.col("p.reviews_next.url")).alias("n_next"),
+                    )
+                    .localCheckpoint(eager=True)
                 )
-                .localCheckpoint(eager=True)
-            )
-            _cm = cobs.get
+                return cp, cobs.get
+
+            def _dedup(got_df):
+                return (
+                    got_df.withColumn("_rn", F.row_number().over(w_cap))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+
+            n_hop = n_next  # rows in this hop's claim (= prev continuations)
+            if cfg.robots:
+                cproc, _cm = _hop(_dedup(got))
+            else:
+                cproc, _cm = _hop(got)
+                if _cm["n"] > n_hop:  # dup captures — redo the hop windowed
+                    cproc, _cm = _hop(_dedup(got))
             n_next = _cm["n_next"]
             self._cum_claimed += _cm["n"]
             chain_parts.append(cproc)
@@ -1251,17 +1273,28 @@ class CrawlEngine:
     # ---------------- outputs -------------------------------------------------
 
     def counters(self) -> dict:
-        """≙ exiter counters (exiter/exiter.go:17-26) from status aggregates."""
+        """≙ exiter counters (exiter/exiter.go:17-26) from status aggregates.
+        The three aggregations are independent Spark jobs and run
+        concurrently (fixpoint-only cost ≈ max, not sum)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         if self._frontier is None:
             return {}
-        rows = (
-            self._frontier.groupBy("kind", "status").count().collect()
-        )
-        c: dict[str, int] = {}
-        for r in rows:
-            c[f"{r['kind']}_{r['status']}"] = r["count"]
-        c["results"] = self._results.count() if self._results is not None else 0
-        c["seen"] = self._seen.count() if self._seen is not None else 0
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            f_rows = ex.submit(
+                lambda: self._frontier.groupBy("kind", "status").count().collect()
+            )
+            f_res = ex.submit(
+                lambda: self._results.count() if self._results is not None else 0
+            )
+            f_seen = ex.submit(
+                lambda: self._seen.count() if self._seen is not None else 0
+            )
+            c: dict[str, int] = {}
+            for r in f_rows.result():
+                c[f"{r['kind']}_{r['status']}"] = r["count"]
+            c["results"] = f_res.result()
+            c["seen"] = f_seen.result()
         c["round"] = self.round
         return c
 
