@@ -810,3 +810,75 @@ def events_sessionize(spark, sf):
         .groupBy("user_id")
         .agg(F.countDistinct("session_id").alias("n_sessions"))
     )
+
+
+# =============================================================================
+# As-of join (custom operator: Spark has no ASOF JOIN; DuckDB does)
+# =============================================================================
+
+@_q(
+    "events_asof_attribution",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    s AS (SELECT event_id, user_id, event_type, ts FROM events
+          WHERE event_type IN ('click', 'view'))
+    SELECT p.event_id AS event_id, p.user_id AS user_id,
+           COALESCE(s.event_id, -1) AS src_event_id,
+           COALESCE(s.event_type, 'none') AS src_event_type,
+           COALESCE(date_diff('microsecond', s.ts, p.ts), -1) AS gap_us
+    FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts > s.ts
+    ORDER BY event_id
+    """,
+)
+def events_asof_attribution(spark, sf):
+    """As-of join: attribute each ``purchase`` event to the same user's
+    latest strictly-preceding ``click``/``view`` event (last-touch
+    attribution).  Spark lacks a native ASOF JOIN; a range join explodes to
+    O(|events|·|sources|) rows before aggregation.  This is the scalable
+    composition instead: tag both sides, union, and take
+    ``last(src, ignorenulls)`` over a (user, ts) window — ONE shuffle on
+    user_id, O(n log n) per partition, no pair blow-up.  Strict `<`
+    semantics come from the sort key: purchases order BEFORE equal-ts
+    sources (kind 0 < 1), so an equal-timestamp source is outside the
+    frame.  Misses are coalesced to sentinel values (-1 / 'none') so the
+    output schema is non-nullable on both engines.  At 10^10-event scale
+    the only skew risk is a single hot user_id; the same salting used for
+    politeness buckets (plans/crawl.py) applies if one appears."""
+    ev = load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        "event_id",
+        F.lit(None)
+        .cast("struct<event_id:bigint,event_type:string,ts:timestamp_ntz>")
+        .alias("src"),
+    )
+    sources = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.struct("event_id", "event_type", "ts").alias("src"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        purchases.unionByName(sources)
+        .withColumn("attr", F.last("src", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("attr.event_id"), F.lit(-1)).alias("src_event_id"),
+            F.coalesce(F.col("attr.event_type"), F.lit("none")).alias("src_event_type"),
+            F.coalesce(
+                F.expr("timestampdiff(MICROSECOND, attr.ts, ts)"), F.lit(-1)
+            ).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )

@@ -23,7 +23,7 @@ import hashlib
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .analytics import load
@@ -470,4 +470,121 @@ def docs_ngram_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.col("jaccard_pct").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
         .limit(15)
+    )
+
+
+# =============================================================================
+# Winnowing fingerprints (rolling-hash document fingerprinting)
+# =============================================================================
+
+WINNOW_K = 5  # k-gram length (chars, over whitespace-stripped lowercased text)
+WINNOW_W = 8  # winnowing window (consecutive k-gram hashes per window)
+_POS_BITS = 20  # pos field width in the packed (hash, pos) key
+
+
+def winnow_keys(df: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
+    """Per-document winnowing selection state (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003):
+    normalize (lowercase, strip whitespace), hash every k-gram (md5 prefix →
+    32-bit int, the catalog's engine-portable hash), and for every window of
+    w consecutive hashes select the minimum, breaking ties to the RIGHTMOST
+    position (the paper's robust-winnowing rule).
+
+    The rightmost-min selection runs as ONE window-function pass by packing
+    (hash, pos) into a single bigint — ``hash·2^20 + (2^20-1-pos)`` — so an
+    ordinary ``min`` picks the smallest hash and, among equal hashes, the
+    largest position.  Docs are the partition key: the sole shuffle is the
+    hash-partition on doc_id, each partition streams its windows in one
+    sorted pass, and nothing is quadratic in doc length.  The 20-bit pos
+    field bounds docs at 2^20-1 normalized chars — longer corpora chunk
+    upstream (documented cap, not a silent one: the filter drops nothing
+    below that bound and the pack would overflow loudly in ANSI mode)."""
+    lim = (1 << _POS_BITS) - 1
+    norm = F.regexp_replace(F.lower("text"), r"\s+", "")
+    base = df.select("doc_id", norm.alias("norm")).filter(F.length("norm") >= k)
+    g = base.select(
+        "doc_id",
+        (F.length("norm") - k + 1).alias("n_grams"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(norm) - {k} + 1),"
+                f" i -> substring(norm, i, {k}))"
+            )
+        ).alias("pos", "gram"),
+    )
+    key = (
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+        * F.lit(1 << _POS_BITS)
+        + (F.lit(lim) - F.col("pos"))
+    )
+    h = g.select("doc_id", "n_grams", "pos", key.alias("key"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return h.withColumn("wmin", F.min("key").over(win))
+
+
+_WINNOW_SQL = f"""
+    WITH docs AS (
+      SELECT doc_id, regexp_replace(lower(text), '\\s+', '', 'g') AS norm
+      FROM documents
+    ),
+    gl AS (
+      SELECT doc_id, norm, len(norm) - {WINNOW_K} + 1 AS n_grams
+      FROM docs WHERE len(norm) >= {WINNOW_K}
+    ),
+    g AS (
+      SELECT doc_id, n_grams, t.pos AS pos,
+             substring(norm, t.pos + 1, {WINNOW_K}) AS gram
+      FROM gl, unnest(range(0, n_grams)) AS t(pos)
+    ),
+    h AS (
+      SELECT doc_id, n_grams, pos,
+        CAST(list_sum(list_transform(range(0, 8), i ->
+           CAST(instr('{_HEX}', substring(md5(gram), i + 1, 1)) - 1 AS BIGINT)
+             << (4 * (7 - i)))) AS BIGINT) * {1 << _POS_BITS}
+          + ({(1 << _POS_BITS) - 1} - pos) AS key
+      FROM g
+    ),
+    wm AS (
+      SELECT doc_id, n_grams, pos,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+               AS wmin
+      FROM h
+    )
+    SELECT doc_id, fp, MIN(sel_pos) AS first_pos FROM (
+      SELECT doc_id, wmin >> {_POS_BITS} AS fp,
+             {(1 << _POS_BITS) - 1} - (wmin & {(1 << _POS_BITS) - 1}) AS sel_pos
+      FROM wm WHERE pos <= greatest(n_grams - {WINNOW_W}, 0)
+    ) GROUP BY doc_id, fp
+    ORDER BY doc_id, fp
+    """
+
+
+@_register("docs_winnow_fingerprint", _WINNOW_SQL)
+def docs_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing document fingerprints: the distinct selected k-gram hashes
+    per doc plus the first position each was selected at — the MOSS-style
+    local fingerprint set whose guarantee is that any shared substring of
+    length ≥ k + w - 1 between two docs yields at least one shared
+    fingerprint.  Complements ``docs_fingerprint`` (whole-doc hash — exact
+    dup only) and the MinHash/SimHash queries (set-similarity estimates):
+    winnowing is the positional/rolling-hash family of the SURVEY's
+    fingerprinting row, the standard building block for substring-level
+    plagiarism/copy detection over a corpus.  Only shuffles: doc_id
+    partition for the window pass, then the (doc_id, fp) partial-agg
+    distinct — both on the natural keys, both skew-free at corpus scale."""
+    lim = (1 << _POS_BITS) - 1
+    wm = winnow_keys(load(spark, sf, "documents"))
+    sel = wm.filter(
+        F.col("pos") <= F.greatest(F.col("n_grams") - WINNOW_W, F.lit(0))
+    )
+    out = sel.select(
+        "doc_id",
+        F.shiftright("wmin", _POS_BITS).alias("fp"),
+        (F.lit(lim) - F.col("wmin").bitwiseAND(F.lit(lim))).alias("sel_pos"),
+    )
+    return (
+        out.groupBy("doc_id", "fp")
+        .agg(F.min("sel_pos").alias("first_pos"))
+        .orderBy("doc_id", "fp")
     )
