@@ -482,44 +482,44 @@ WINNOW_W = 8  # winnowing window (consecutive k-gram hashes per window)
 _POS_BITS = 20  # pos field width in the packed (hash, pos) key
 
 
-def winnow_keys(df: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
-    """Per-document winnowing selection state (Schleimer/Wilkerson/Aiken,
+def winnow_wmins(df: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
+    """Per-document winnowing selections (Schleimer/Wilkerson/Aiken,
     "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003):
     normalize (lowercase, strip whitespace), hash every k-gram (md5 prefix →
     32-bit int, the catalog's engine-portable hash), and for every window of
     w consecutive hashes select the minimum, breaking ties to the RIGHTMOST
-    position (the paper's robust-winnowing rule).
+    position (the paper's robust-winnowing rule).  Returns (doc_id, wmins)
+    where wmins[j] is window j's packed selection.
 
-    The rightmost-min selection runs as ONE window-function pass by packing
-    (hash, pos) into a single bigint — ``hash·2^20 + (2^20-1-pos)`` — so an
-    ordinary ``min`` picks the smallest hash and, among equal hashes, the
-    largest position.  Docs are the partition key: the sole shuffle is the
-    hash-partition on doc_id, each partition streams its windows in one
-    sorted pass, and nothing is quadratic in doc length.  The 20-bit pos
-    field bounds docs at 2^20-1 normalized chars — longer corpora chunk
-    upstream (documented cap, not a silent one: the filter drops nothing
-    below that bound and the pack would overflow loudly in ANSI mode)."""
+    The rightmost-min rule is one ``array_min`` per window by packing
+    (hash, pos) into a single bigint — ``hash·2^20 + (2^20-1-pos)`` — so the
+    minimum picks the smallest hash and, among equal hashes, the largest
+    position.  The whole selection runs INSIDE the row with higher-order
+    functions (k-gram hash array → per-window-start slice/array_min), so
+    the operator is shuffle-free: no explode of per-gram rows, no doc_id
+    window sort — the scan stage emits one selections-array per doc and the
+    caller's (doc_id, fp) partial agg is the only exchange.  The singleton
+    ``array(...)`` binds the hash array to a lambda variable so projection
+    collapse cannot inline it and re-hash every gram once per window (same
+    guard as ``minhash_signatures``).  Per-row work is O(n·w) with w=8 —
+    linear in doc length for the fixed window.  The 20-bit pos field bounds
+    docs at 2^20-1 normalized chars — longer corpora chunk upstream
+    (documented cap, not a silent one: the pack would overflow loudly in
+    ANSI mode)."""
     lim = (1 << _POS_BITS) - 1
     norm = F.regexp_replace(F.lower("text"), r"\s+", "")
     base = df.select("doc_id", norm.alias("norm")).filter(F.length("norm") >= k)
-    g = base.select(
-        "doc_id",
-        (F.length("norm") - k + 1).alias("n_grams"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, length(norm) - {k} + 1),"
-                f" i -> substring(norm, i, {k}))"
-            )
-        ).alias("pos", "gram"),
+    keys = (
+        f"transform(sequence(1, length(norm) - {k} + 1), i -> "
+        f"cast(conv(substring(md5(substring(norm, i, {k})), 1, 8), 16, 10)"
+        f" as bigint) * {1 << _POS_BITS} + ({lim} - (i - 1)))"
     )
-    key = (
-        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
-        * F.lit(1 << _POS_BITS)
-        + (F.lit(lim) - F.col("pos"))
+    wmins = (
+        f"flatten(transform(array({keys}), ks -> "
+        f"transform(sequence(0, greatest(size(ks) - {w}, 0)), "
+        f"j -> array_min(slice(ks, j + 1, {w})))))"
     )
-    h = g.select("doc_id", "n_grams", "pos", key.alias("key"))
-    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    return h.withColumn("wmin", F.min("key").over(win))
+    return base.select("doc_id", F.expr(wmins).alias("wmins"))
 
 
 _WINNOW_SQL = f"""
@@ -570,14 +570,18 @@ def docs_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     dup only) and the MinHash/SimHash queries (set-similarity estimates):
     winnowing is the positional/rolling-hash family of the SURVEY's
     fingerprinting row, the standard building block for substring-level
-    plagiarism/copy detection over a corpus.  Only shuffles: doc_id
-    partition for the window pass, then the (doc_id, fp) partial-agg
-    distinct — both on the natural keys, both skew-free at corpus scale."""
+    plagiarism/copy detection over a corpus.  The ONLY shuffle is the
+    (doc_id, fp) partial-agg distinct — the selection itself is computed
+    inside the scan stage (see ``winnow_wmins``), so at corpus scale this
+    is a map-side pass plus one skew-free natural-key exchange."""
     lim = (1 << _POS_BITS) - 1
-    wm = winnow_keys(load(spark, sf, "documents"))
-    sel = wm.filter(
-        F.col("pos") <= F.greatest(F.col("n_grams") - WINNOW_W, F.lit(0))
-    )
+    wm = winnow_wmins(load(spark, sf, "documents"))
+    # explode_outer, not explode: InferFiltersFromGenerate clones a plain
+    # explode's generator into a `size(...) > 0` pre-filter, re-evaluating
+    # the whole winnowing expression per row (measured 5x).  The outer
+    # variant is exempt from that rule, and wmins is never empty (the
+    # length->=k filter guarantees >=1 window), so the semantics are equal.
+    sel = wm.select("doc_id", F.explode_outer("wmins").alias("wmin"))
     out = sel.select(
         "doc_id",
         F.shiftright("wmin", _POS_BITS).alias("fp"),
