@@ -6,8 +6,10 @@ operator family of SURVEY.md §2 on those tables — window-rank round claim,
 politeness budgets, anti-join dedup, first-wins admission, set union,
 completion counters, cross-join grid seeding, haversine filtering, needle
 filters, regex place-id extraction — plus the training-data-pipeline
-operators (exact/minhash/simhash dedup, token/quality/lang/fingerprint text
-analysis, embedding similarity, multimodal binary plumbing).
+operators (exact/minhash/simhash/winnowing dedup, token/BPE-pre-token/
+quality/lang/fingerprint text analysis, embedding similarity with LSH and
+IVF pruning, as-of attribution joins, multimodal image/audio header decode
+over opaque binary columns).
 
 Column names are aliased identically in both implementations (the driver's
 compare sorts columns by name before hashing values).
@@ -521,6 +523,33 @@ def docs_token_count(spark, sf):
 
 
 @_q(
+    "docs_bpe_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '''[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n'']+')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def docs_bpe_token_count(spark, sf):
+    """BPE-style pre-tokenizer counting (the GPT-2 pre-tokenizer shape:
+    contraction suffix | space-prefixed letter run | space-prefixed digit
+    run | space-prefixed punctuation run) — the token-budget estimate a
+    training pipeline uses where whitespace splitting undercounts (e.g.
+    "don't" = 2 pre-tokens, "a,b" = 3).  The pattern avoids lookahead and
+    backrefs so Java regex (Spark) and RE2 (DuckDB) agree exactly; the
+    count stays a JVM-side regexp_extract_all, no Python."""
+    d = load(spark, sf, "documents")
+    pat = "'[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\n']+"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+@_q(
     "docs_quality_score",
     """
     SELECT doc_id, n_chars,
@@ -881,4 +910,117 @@ def events_asof_attribution(spark, sf):
             ).alias("gap_us"),
         )
         .orderBy("event_id")
+    )
+
+
+# --- multimodal: audio (WAV/RIFF) header decode ----------------------------
+
+_WAV_RATES = (8000, 16000, 22050, 44100, 48000)
+
+
+def _wav_payload(channels: int, rate: int, bits: int, n_samples: int) -> bytes:
+    """Minimal valid WAV header stream: RIFF/WAVE + fmt chunk + data chunk
+    header (the declared data is not appended — header-only stream, same
+    contract as the image payloads)."""
+    data_size = n_samples * channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # PCM
+        channels,
+        rate,
+        rate * channels * (bits // 8),
+        channels * (bits // 8),
+        bits,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", data_size)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav_header(b: bytes | None):
+    """Decode (channels, sample_rate, bits, n_samples) from a WAV stream by
+    a real RIFF chunk walk (chunks are word-aligned; fmt need not precede
+    data immediately) — per the RIFF/WAVE spec, not a fixed-offset read."""
+    if not b:
+        return (None, None, None, None)
+    b = bytes(b)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return (None, None, None, None)
+    i, n = 12, len(b)
+    channels = rate = bits = n_samples = None
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        clen = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 8 + 16 <= n:
+            _, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", b[i + 8 : i + 24]
+            )
+        elif cid == b"data" and channels and bits:
+            n_samples = clen // (channels * (bits // 8))
+        i += 8 + clen + (clen & 1)  # chunks are 2-byte aligned
+    return (channels, rate, bits, n_samples)
+
+
+@_q(
+    "multimodal_wav_meta",
+    f"""
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(([8000, 16000, 22050, 44100, 48000])[CAST(doc_id % 5 AS INT) + 1]
+                AS INT) AS sample_rate,
+           CAST(16 AS INT) AS bits,
+           CAST(1000 + (doc_id * 37) % 8000 AS INT) AS n_samples,
+           CAST((1000 + (doc_id * 37) % 8000) * 1000
+                // ([8000, 16000, 22050, 44100, 48000])[CAST(doc_id % 5 AS INT) + 1]
+                AS BIGINT) AS duration_ms
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_wav_meta(spark, sf):
+    """Audio-header decode over an opaque binary column — the audio sibling
+    of ``multimodal_image_dims``: synthesize a real RIFF/WAVE header stream
+    per document (deterministic params from doc_id), decode it back with a
+    spec-correct chunk walk, and derive typed metadata (channels, rate,
+    bits, sample count, duration).  Synthesis and decode are independent
+    vectorized UDFs so the parser sees only opaque bytes; the oracle
+    recomputes every field arithmetically, verifying the decoder.  The same
+    plumbing (binary column -> Arrow batch -> vectorized parser -> typed
+    struct) is where a real audio lib would slot in for waveform decode."""
+
+    @F.pandas_udf("binary")
+    def synth_wav(doc_id: pd.Series) -> pd.Series:
+        def mk(i: int) -> bytes:
+            return _wav_payload(
+                1 + i % 2, _WAV_RATES[i % 5], 16, 1000 + (i * 37) % 8000
+            )
+
+        return doc_id.map(lambda i: mk(int(i)))
+
+    @F.pandas_udf(
+        "channels int, sample_rate int, bits int, n_samples int"
+    )
+    def decode_wav(payload: pd.Series) -> pd.DataFrame:
+        rows = [parse_wav_header(b) for b in payload]
+        return pd.DataFrame(
+            rows, columns=["channels", "sample_rate", "bits", "n_samples"]
+        )
+
+    d = load(spark, sf, "documents").select("doc_id")
+    return (
+        d.withColumn("payload", synth_wav("doc_id"))
+        .withColumn("wav", decode_wav("payload"))
+        .select(
+            "doc_id",
+            F.col("wav.channels").alias("channels"),
+            F.col("wav.sample_rate").alias("sample_rate"),
+            F.col("wav.bits").alias("bits"),
+            F.col("wav.n_samples").alias("n_samples"),
+            # integral `div`, not `/`: float division + cast can land one
+            # ulp under the exact quotient and truncate differently from
+            # the oracle's integer `//`
+            F.expr(
+                "cast(wav.n_samples as bigint) * 1000 div wav.sample_rate"
+            ).alias("duration_ms"),
+        )
+        .orderBy("doc_id")
     )

@@ -68,3 +68,60 @@ def test_parse_image_header_standalone_markers():
 
     # zero/invalid length segment must not loop forever
     assert parse_image_header(b"\xff\xd8\xff\xe0\x00\x00") == ("jpeg", None, None)
+
+
+# --- WAV/RIFF header decode -------------------------------------------------
+
+
+def test_wav_roundtrip_pure():
+    from google_maps_scraper_spark.operators.analytics import (
+        _WAV_RATES,
+        _wav_payload,
+        parse_wav_header,
+    )
+
+    for i in range(25):
+        ch, rate, ns = 1 + i % 2, _WAV_RATES[i % 5], 1000 + (i * 37) % 8000
+        assert parse_wav_header(_wav_payload(ch, rate, 16, ns)) == (
+            ch, rate, 16, ns,
+        )
+
+
+def test_wav_parser_chunk_walk_edge_cases():
+    """Spec-correctness of the RIFF walk: odd-length chunks are word-aligned,
+    unknown chunks are skipped, fmt-before-data ordering is not assumed, and
+    malformed streams return all-None instead of raising."""
+    import struct
+
+    from google_maps_scraper_spark.operators.analytics import parse_wav_header
+
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+
+    def riff(body: bytes) -> bytes:
+        return b"RIFF" + struct.pack("<I", len(body) + 4) + b"WAVE" + body
+
+    # odd-length LIST chunk before fmt: the +1 alignment pad must be skipped
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    stream = riff(
+        odd + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 400)
+    )
+    assert parse_wav_header(stream) == (2, 44100, 16, 100)
+
+    # data chunk BEFORE fmt: sample count needs fmt, so it stays None
+    # (the walk must not crash or misattribute)
+    stream2 = riff(
+        b"data" + struct.pack("<I", 400) + b"\x00" * 400
+        + b"fmt " + struct.pack("<I", 16) + fmt
+    )
+    ch, rate, bits, ns = parse_wav_header(stream2)
+    assert (ch, rate, bits) == (2, 44100, 16) and ns is None
+
+    # malformed / truncated
+    assert parse_wav_header(b"") == (None, None, None, None)
+    assert parse_wav_header(b"RIFF\x04\x00\x00\x00WAVE") == (
+        None, None, None, None,
+    )
+    assert parse_wav_header(b"OggS" + b"\x00" * 20) == (
+        None, None, None, None,
+    )

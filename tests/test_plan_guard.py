@@ -106,3 +106,62 @@ def test_catalog_query_plans_clean(spark, qname):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for bad in FORBIDDEN:
         assert bad not in plan, f"{bad} in {qname}"
+
+
+def test_winnow_plan_single_hash_pass_no_window(spark):
+    """The winnowing selection must stay inside the row: exactly ONE md5 in
+    the physical plan (InferFiltersFromGenerate would clone the generator
+    into a size()>0 pre-filter and re-hash every gram — the explode_outer
+    guard in docs_winnow_fingerprint exists for this) and no window-sort
+    shuffle of per-gram rows."""
+    from google_maps_scraper_spark.operators.dedup_docs import (
+        docs_winnow_fingerprint,
+    )
+
+    df = docs_winnow_fingerprint(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("md5") == 1, f"md5 evaluated {plan.count('md5')}x"
+    assert "Window" not in plan
+
+
+def test_asof_plan_single_shuffle_no_range_join(spark):
+    """The as-of composition must not plan a range join (nested-loop pair
+    blow-up); one exchange for the user window plus one for the output sort
+    are the only shuffles."""
+    from google_maps_scraper_spark.operators.analytics import (
+        events_asof_attribution,
+    )
+
+    df = events_asof_attribution(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for bad in FORBIDDEN:
+        assert bad not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_ivf_assignment_plan_is_literal_arithmetic(spark):
+    """IVF cell assignment must be plan-literal arithmetic: no shuffle, no
+    join, no Python eval in the assignment projection."""
+    from pyspark.sql import functions as F
+
+    from google_maps_scraper_spark.operators.similarity import (
+        N_CELLS,
+        ivf_cells,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").between(1, N_CELLS))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    plan = (
+        ivf_cells(emb.select("vec_id", "embedding"), cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
