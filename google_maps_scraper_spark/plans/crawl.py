@@ -54,6 +54,9 @@ import json
 import os
 import pathlib
 import shutil
+import time
+from collections import defaultdict
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 import uuid
@@ -77,6 +80,7 @@ from ..schemas import (
     STATUS_DONE,
     STATUS_FAILED,
     STATUS_NEW,
+    STATUS_QUEUED,
 )
 
 __all__ = ["CrawlConfig", "CrawlEngine", "ConcurrentWriterError"]
@@ -139,6 +143,11 @@ class CrawlConfig:
     bloom_capacity: int = 1_000_000      # expected distinct URLs (sizes m,k)
     bloom_fpp: float = 0.01
     capture_plans: bool = False
+    timing: bool = False
+    # debug/bench hook: accumulate driver-blocking wall time per phase in
+    # engine.phase_times (claim, dispatch, chains, persist, checkpoint,
+    # counters) — every Spark action blocks the driver, so wall around each
+    # block attributes the round's cost to its phase.  Off by default.
     # debug/test hook: record formatted physical plans of the round's three
     # load-bearing dataflows (claim window, fetch+dispatch, seen anti-join)
     # in engine.plan_log — the plan-regression pytest guard asserts on them
@@ -187,10 +196,18 @@ class CrawlEngine:
 
             c = config or CrawlConfig()
             self._bloom = BloomFilter.sized(c.bloom_capacity, c.bloom_fpp)
-        self._frontier: DataFrame | None = None
+        self._frontier: DataFrame | None = None   # LIVE rows (status NEW)
+        self._frontier_done: list[DataFrame] = []  # terminal segments,
+        # append-only: each is materialized ONCE when its round retires it
+        # and never recopied — the frontier analog of an Iceberg append-only
+        # data file.  At 10^10-URL scale this is what keeps per-round state
+        # maintenance O(delta) instead of O(total): done/failed jobs (with
+        # their multi-KB payloads) stop riding every round's checkpoint.
+        self._pending_term: DataFrame | None = None  # this round's retiring rows
         self._seen: DataFrame | None = None
         self._results: DataFrame | None = None
         self.plan_log: dict[str, str] = {}  # filled when cfg.capture_plans
+        self.phase_times: dict[str, float] = defaultdict(float)  # cfg.timing
 
     # ---------------- seeding -------------------------------------------------
 
@@ -216,7 +233,7 @@ class CrawlEngine:
                 STATUS_NEW, None, self.cfg.extract_email, self.cfg.lang, None,
             ))
         df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
-        self._frontier = self._stamp_url_cols(df)
+        self._split_frontier(self._stamp_url_cols(df), materialize_done=True)
         self._seen = self.spark.createDataFrame([], SEEN_SCHEMA)
         self._results = self.spark.createDataFrame([], RESULT_SCHEMA)
         self.round = 0
@@ -310,6 +327,36 @@ class CrawlEngine:
             )
         return df
 
+    def _frontier_full(self) -> DataFrame:
+        """The complete frontier: live rows plus every terminal segment —
+        the audit/counters/snapshot view.  Claims never build this (they
+        read the live set only), so the union's width costs nothing on the
+        per-round hot path; segment count is bounded by round count."""
+        df = self._frontier
+        for seg in self._frontier_done:
+            df = df.unionByName(seg)
+        return df
+
+    def _split_frontier(self, full: DataFrame, materialize_done: bool = False) -> None:
+        """Root live/terminal state at a full-frontier DataFrame (seed,
+        checkpoint re-root, resume).
+
+        ``materialize_done=True`` (seed/resume — the engine will keep
+        running) copies the terminal part into the block manager ONCE:
+        terminal segments are immutable and never re-persisted, so a
+        segment left as a parquet view would outlive its round directory
+        when ``keep_rounds`` retention prunes it mid-run.  The finalize
+        re-root keeps the free view — commits stop there and LATEST is
+        never pruned."""
+        self._frontier = full.filter(F.col("status") == STATUS_NEW)
+        done = full.filter(F.col("status") != STATUS_NEW)
+        if materialize_done:
+            done = done.coalesce(self._state_partitions()).localCheckpoint(
+                eager=True
+            )
+        self._frontier_done = [done]
+        self._pending_term = None
+
     def _persist_state(self) -> None:
         """Truncate lineage in memory (no durable write) — used between
         durable checkpoints when ``checkpoint_every > 1``.
@@ -332,18 +379,24 @@ class CrawlEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         n = self._state_partitions()
-        with ThreadPoolExecutor(max_workers=2) as ex:
+        tables = [("frontier", self._frontier), ("seen", self._seen)]
+        if self._pending_term is not None:
+            tables.append(("term", self._pending_term))
+        with self._timed("persist"), ThreadPoolExecutor(max_workers=3) as ex:
             fs = {
                 name: ex.submit(
                     lambda df: df.coalesce(n).localCheckpoint(eager=True), df
                 )
-                for name, df in (
-                    ("frontier", self._frontier),
-                    ("seen", self._seen),
-                )
+                for name, df in tables
             }
             self._frontier = self._reset_stats(fs["frontier"].result())
             self._seen = self._reset_stats(fs["seen"].result())
+            if "term" in fs:
+                # terminal segment: materialized once, appended, never
+                # touched again (no stats reset needed — segments never
+                # re-enter an iterative join)
+                self._frontier_done.append(fs["term"].result())
+                self._pending_term = None
 
     def _reset_stats(self, df: DataFrame) -> DataFrame:
         """Rebuild ``df`` as a fresh LogicalRDD leaf over its (already
@@ -406,6 +459,17 @@ class CrawlEngine:
         if self.cfg.capture_plans:
             self.plan_log[f"round{self.round:03d}/{name}"] = self._explain(df)
 
+    @contextmanager
+    def _timed(self, name: str):
+        if not self.cfg.timing:
+            yield
+            return
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.phase_times[name] += time.perf_counter() - t0
+
     def _state_partitions(self) -> int:
         """Data-aware partition count for the state tables: ~16 k rows per
         partition (cumulative claims approximate state size), floor 8 so
@@ -451,7 +515,11 @@ class CrawlEngine:
                 "aborting checkpoint (WRITER fencing token changed)"
             )
 
-    def _write_snapshot(
+    def _write_snapshot(self, *a, **kw):
+        with self._timed("snapshot_write"):
+            return self._write_snapshot_inner(*a, **kw)
+
+    def _write_snapshot_inner(
         self,
         rnd: int,
         frontier: DataFrame,
@@ -471,6 +539,23 @@ class CrawlEngine:
             if stale.exists():
                 shutil.rmtree(stale)
         n = self._state_partitions()
+        # counters ride the write (≙ the exiter's incremental counting,
+        # exiter/exiter.go:49-93): Observations fill during the parquet
+        # jobs, so the fixpoint status/result/seen counts cost ZERO extra
+        # scans — the round-4 profile measured the separate fixpoint
+        # aggregation at 62-109 s on the 2.1M-page corpus.
+        f_obs, s_obs, r_obs = Observation(), Observation(), Observation()
+        frontier = frontier.observe(f_obs, *[
+            F.sum(
+                F.when(
+                    (F.col("kind") == k) & (F.col("status") == st), 1
+                ).otherwise(0)
+            ).cast("long").alias(f"{k}_{st}")
+            for k in (KIND_SEARCH, KIND_PLACE, KIND_EMAIL, KIND_REVIEWS)
+            for st in (STATUS_NEW, STATUS_QUEUED, STATUS_DONE, STATUS_FAILED)
+        ])
+        seen = seen.observe(s_obs, F.count(F.lit(1)).alias("n"))
+        results = results.observe(r_obs, F.count(F.lit(1)).alias("n"))
         with ThreadPoolExecutor(max_workers=3) as ex:
             list(ex.map(
                 lambda nd: nd[1].coalesce(n).write.mode("overwrite").parquet(
@@ -478,6 +563,10 @@ class CrawlEngine:
                 ),
                 (("frontier", frontier), ("seen", seen), ("results", results)),
             ))
+        wc = {k: v for k, v in f_obs.get.items() if v}
+        wc["results"] = r_obs.get["n"]
+        wc["seen"] = s_obs.get["n"]
+        self._counters_from_write = (rnd, wc)
         if bloom_bytes is not None:
             (tmp / "bloom.bin").write_bytes(bloom_bytes)
         manifest = {
@@ -545,7 +634,7 @@ class CrawlEngine:
         bloom_bytes = self._bloom.to_bytes() if self._bloom is not None else None
         self._pending_ckpt = self._ckpt_pool.submit(
             self._write_snapshot,
-            self.round, self._frontier, self._seen, self._results,
+            self.round, self._frontier_full(), self._seen, self._results,
             bloom_bytes, counters,
         )
 
@@ -557,9 +646,12 @@ class CrawlEngine:
         f, self._pending_ckpt = self._pending_ckpt, None
         if f is None:
             return
-        rnd, results_path = f.result()
-        self._durable_round = rnd
-        self._results = self.spark.read.schema(RESULT_SCHEMA).parquet(results_path)
+        with self._timed("ckpt_join"):
+            rnd, results_path = f.result()
+            self._durable_round = rnd
+            self._results = self.spark.read.schema(RESULT_SCHEMA).parquet(
+                results_path
+            )
 
     def _checkpoint(self) -> None:
         """Synchronous durable snapshot (seed round-0 and finalize): write,
@@ -567,15 +659,27 @@ class CrawlEngine:
         counts for any later aggregation; lineage fully truncated)."""
         self._join_pending_checkpoint()
         rnd, _ = self._write_snapshot(
-            self.round, self._frontier, self._seen, self._results,
+            self.round, self._frontier_full(), self._seen, self._results,
             self._bloom.to_bytes() if self._bloom is not None else None,
-            self.counters(),
+            None,  # counters observed during the write; backfilled below
         )
         rd = self.workdir / f"round={rnd:04d}"
-        self._frontier = self.spark.read.schema(FRONTIER_SCHEMA).parquet(str(rd / "frontier"))
+        full = self.spark.read.schema(FRONTIER_SCHEMA).parquet(str(rd / "frontier"))
+        # re-root only the LIVE part at the committed parquet; the terminal
+        # segments keep their existing materialized blocks — their content
+        # is exactly the parquet's non-NEW rows, and block-backed segments
+        # cannot dangle when keep_rounds later prunes this round dir (a
+        # parquet view here broke retention: segments are immutable and
+        # would never be re-rooted again)
+        self._frontier = full.filter(F.col("status") == STATUS_NEW)
+        self._pending_term = None
         self._seen = self.spark.read.schema(SEEN_SCHEMA).parquet(str(rd / "seen"))
         self._results = self.spark.read.schema(RESULT_SCHEMA).parquet(str(rd / "results"))
         self._durable_round = rnd
+        mpath = rd / "manifest.json"
+        manifest = json.loads(mpath.read_text())
+        manifest["counters"] = self.counters()  # write-observed, no rescan
+        mpath.write_text(json.dumps(manifest, indent=2))
 
     @classmethod
     def resume(
@@ -626,14 +730,15 @@ class CrawlEngine:
         rd = eng.workdir / f"round={latest:04d}"
         manifest = json.loads((rd / "manifest.json").read_text())
         eng.round = manifest["round"]
-        eng._frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(str(rd / "frontier"))
+        restored = spark.read.schema(FRONTIER_SCHEMA).parquet(str(rd / "frontier"))
         if eng.cfg.robots:
             # robots rules may differ from the run that wrote this snapshot
             # (admission-time stamping alone would let already-persisted NEW
             # jobs slip past newly added rules — round-3 ADVICE).  Re-stamp
             # the restored frontier: deterministic and idempotent (same
             # hash/host/bucket values recomputed; only NEW rows can flip).
-            eng._frontier = eng._stamp_url_cols(eng._frontier)
+            restored = eng._stamp_url_cols(restored)
+        eng._split_frontier(restored, materialize_done=True)
         eng._seen = spark.read.schema(SEEN_SCHEMA).parquet(str(rd / "seen"))
         eng._results = spark.read.schema(RESULT_SCHEMA).parquet(str(rd / "results"))
         eng._durable_round = eng.round
@@ -722,8 +827,11 @@ class CrawlEngine:
             F.sum(F.xxhash64("job_id").cast("decimal(38,0)")).alias("h"),
         )
         self._capture_plan("claim", claimed)
-        claimed = claimed.coalesce(self._state_partitions()).localCheckpoint(eager=True)
-        _c = obs.get
+        with self._timed("claim"):
+            claimed = claimed.coalesce(self._state_partitions()).localCheckpoint(
+                eager=True
+            )
+            _c = obs.get
         n_claimed, n_payload, claim_h = _c["n"], _c["n_payload"], _c["h"]
         if n_claimed == 0:
             # Empty claim ≠ fixpoint when budget-remainder rotation is live:
@@ -816,8 +924,9 @@ class CrawlEngine:
             F.count(F.col("p.reviews_next.url")).alias("n_next"),
         )
         self._capture_plan("fetch_dispatch", processed)
-        processed = processed.localCheckpoint(eager=True)
-        _pm = pobs.get
+        with self._timed("dispatch"):
+            processed = processed.localCheckpoint(eager=True)
+            _pm = pobs.get
         if _pm["n"] == n_claimed and (_pm["h"] or 0) == (claim_h or 0):
             nd, n_next = n_claimed, _pm["n_next"]
         else:
@@ -878,6 +987,7 @@ class CrawlEngine:
         chain_records: list[DataFrame] = []     # frontier-shaped terminal rows
         chain_src = processed                   # hop-1 continuations come from the claim's dispatch
         hops = 0
+        _chain_t0 = time.perf_counter() if self.cfg.timing else 0.0
         while n_next > 0 and hops < _CHAIN_MAX_HOPS:
             hops += 1
             claim = chain_src.filter(F.col("p.reviews_next.url").isNotNull()).select(
@@ -980,6 +1090,9 @@ class CrawlEngine:
             processed_emit = processed_emit.unionByName(
                 cp.select(processed_all.columns)
             )
+
+        if self.cfg.timing and hops:
+            self.phase_times["chains"] += time.perf_counter() - _chain_t0
 
         # --- search: feed links → admission → place children -----------------
         search = processed_all.filter(F.col("kind") == KIND_SEARCH)
@@ -1177,11 +1290,18 @@ class CrawlEngine:
             email_jobs.select(place_jobs.columns)
         ).unionByName(reviews_jobs.select(place_jobs.columns))
         new_children = self._stamp_url_cols(new_children)
+        # robots-denied children are born terminal (stamped FAILED at
+        # admission): they retire straight into this round's terminal
+        # segment and never touch the live set
+        term_children = new_children.filter(F.col("status") != STATUS_NEW)
+        new_children = new_children.filter(F.col("status") == STATUS_NEW)
         # intra-round chain hops enter the frontier as TERMINAL rows (status
         # done/failed, already robots-stamped): counters/audit parity with
         # round 3's one-job-per-hop shape, without charging a global round
         for cr in chain_records:
-            new_children = new_children.unionByName(cr.select(new_children.columns))
+            term_children = term_children.unionByName(
+                cr.select(term_children.columns)
+            )
 
         # Status flip with retry semantics (≙ scrapemate requeue up to
         # MaxRetries, gmaps/job.go:57): a failed job with retries left goes
@@ -1192,7 +1312,7 @@ class CrawlEngine:
             (F.col("new_status") == STATUS_FAILED)
             & (F.col("retries") < F.col("max_retries"))
         )
-        updated_frontier = (
+        updated_live = (
             self._frontier.join(status_of_claimed, "job_id", "left")
             .withColumn(
                 "status",
@@ -1211,7 +1331,21 @@ class CrawlEngine:
                 ),
             )
             .drop("new_status")
-            .unionByName(new_children)
+        )
+        # live/terminal split (the O(delta) state design): rows that stayed
+        # or became NEW (unclaimed + retry-requeued + admitted children)
+        # remain live; everything that finished this round retires into an
+        # append-only segment materialized once in _persist_state.  Done
+        # payloads are dead weight in a 10^10-row frontier — the terminal
+        # record drops them (the reference keeps no completed-job payloads
+        # either, and the audit columns all survive).
+        updated_frontier = updated_live.filter(
+            F.col("status") == STATUS_NEW
+        ).unionByName(new_children)
+        term_delta = (
+            updated_live.filter(F.col("status") != STATUS_NEW)
+            .withColumn("payload", F.lit(None).cast("string"))
+            .unionByName(term_children)
         )
 
         stats = {
@@ -1222,6 +1356,7 @@ class CrawlEngine:
         }
 
         self._frontier = updated_frontier
+        self._pending_term = term_delta
         self._seen = self._seen.unionByName(new_seen)
         if cfg.seen_bloom and self._bloom is not None:
             from ..operators.bloom import build_bloom
@@ -1243,7 +1378,8 @@ class CrawlEngine:
     def run(self) -> dict:
         """Run rounds to fixpoint; returns final counters."""
         for _ in range(self.cfg.max_rounds):
-            stats = self.run_round()
+            with self._timed("round_total"):
+                stats = self.run_round()
             if stats.get("done"):
                 break
         self.finalize()
@@ -1280,9 +1416,16 @@ class CrawlEngine:
 
         if self._frontier is None:
             return {}
-        with ThreadPoolExecutor(max_workers=3) as ex:
+        cw = getattr(self, "_counters_from_write", None)
+        if cw is not None and cw[0] == self.round == self._durable_round:
+            # the last committed write observed exactly the current state
+            c = dict(cw[1])
+            c["round"] = self.round
+            return c
+        full = self._frontier_full()
+        with self._timed("counters"), ThreadPoolExecutor(max_workers=3) as ex:
             f_rows = ex.submit(
-                lambda: self._frontier.groupBy("kind", "status").count().collect()
+                lambda: full.groupBy("kind", "status").count().collect()
             )
             f_res = ex.submit(
                 lambda: self._results.count() if self._results is not None else 0
@@ -1317,7 +1460,7 @@ class CrawlEngine:
 
     @property
     def frontier(self) -> DataFrame:
-        return self._frontier
+        return self._frontier_full()
 
     def results_csv(self, path: str) -> None:
         """36-column CSV projection (entry.go:235-315) from canonical JSON."""
