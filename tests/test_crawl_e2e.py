@@ -303,3 +303,69 @@ def test_duplicate_page_captures_latest_wins(spark, corpus, tmp_path_factory, en
         for r in eng.results.select("link", "canonical_json").collect()
     }
     assert got == full
+
+
+def test_counters_write_observed_equals_aggregation(spark, tmp_path):
+    """The write-observed counters cache must equal the full aggregation
+    bit-for-bit (same keys, same values) — and invalidate as soon as state
+    moves past the committed round."""
+    from google_maps_scraper_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from google_maps_scraper_spark.sources.corpus import (
+        corpus_to_spark,
+        generate_corpus,
+    )
+
+    corpus = generate_corpus(n_seeds=3, places_per_serp=5)
+    pages = corpus_to_spark(spark, corpus)
+    eng = CrawlEngine(
+        spark, pages, str(tmp_path / "wd"),
+        CrawlConfig(extract_email=True, now_micros=1786838400000000),
+    )
+    eng.seed_from_queries(
+        [(s["query"].split(" #!#")[0], s["custom_id"]) for s in corpus.seeds]
+    )
+    got = eng.run()
+    assert got and eng._counters_from_write is not None
+    cached = eng.counters()
+    # force the exact aggregation path and compare
+    eng._counters_from_write = None
+    exact = eng.counters()
+    assert cached == exact
+    assert cached["results"] > 0 and cached["seen"] > 0
+
+
+def test_terminal_segments_are_materialized_once(spark, tmp_path):
+    """Frontier terminal segments must be checkpointed leaves (immutable,
+    never re-persisted) and the live set must hold only NEW rows."""
+    from pyspark.sql import functions as F
+
+    from google_maps_scraper_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from google_maps_scraper_spark.schemas import STATUS_NEW
+    from google_maps_scraper_spark.sources.corpus import (
+        corpus_to_spark,
+        generate_corpus,
+    )
+
+    corpus = generate_corpus(n_seeds=2, places_per_serp=4)
+    pages = corpus_to_spark(spark, corpus)
+    eng = CrawlEngine(
+        spark, pages, str(tmp_path / "wd"),
+        CrawlConfig(extract_email=False, now_micros=1786838400000000,
+                    checkpoint_every=100),
+    )
+    eng.seed_from_queries(
+        [(s["query"].split(" #!#")[0], s["custom_id"]) for s in corpus.seeds]
+    )
+    eng.run_round()
+    eng.run_round()
+    assert eng._frontier.filter(F.col("status") != STATUS_NEW).count() == 0
+    assert len(eng._frontier_done) >= 2  # seed segment + per-round segments
+    for seg in eng._frontier_done:
+        # a materialized segment is rooted at RDD blocks, not a live plan:
+        # its physical plan must be a bare scan of an existing RDD
+        plan = seg._jdf.queryExecution().executedPlan().toString()
+        assert "Scan ExistingRDD" in plan and "Join" not in plan
+    # full view equals live + segments with no row lost
+    full_n = eng.frontier.count()
+    parts = eng._frontier.count() + sum(s.count() for s in eng._frontier_done)
+    assert full_n == parts
