@@ -142,6 +142,14 @@ class CrawlConfig:
     # impossible.
     bloom_capacity: int = 1_000_000      # expected distinct URLs (sizes m,k)
     bloom_fpp: float = 0.01
+    term_flush_rows: int = 65536
+    # terminal-segment commit batching: retiring rows accumulate as lazy
+    # deltas (cheap projections of already-checkpointed round outputs) and
+    # materialize into an immutable segment only once the accumulated rows
+    # pass this threshold or a durable sync checkpoint needs them — the
+    # Iceberg small-commit-batching analog.  Keeps tiny rounds from paying
+    # a fixed materialization job for a handful of retired rows; 0 flushes
+    # every round.
     capture_plans: bool = False
     timing: bool = False
     # debug/bench hook: accumulate driver-blocking wall time per phase in
@@ -204,6 +212,9 @@ class CrawlEngine:
         # maintenance O(delta) instead of O(total): done/failed jobs (with
         # their multi-KB payloads) stop riding every round's checkpoint.
         self._pending_term: DataFrame | None = None  # this round's retiring rows
+        self._term_lazy: list[DataFrame] = []  # unflushed lazy term deltas
+        self._term_lazy_rows = 0               # upper-bound row estimate
+        self._live_parquet_rooted = False      # live set backed by a round dir
         self._seen: DataFrame | None = None
         self._results: DataFrame | None = None
         self.plan_log: dict[str, str] = {}  # filled when cfg.capture_plans
@@ -335,6 +346,10 @@ class CrawlEngine:
         df = self._frontier
         for seg in self._frontier_done:
             df = df.unionByName(seg)
+        for seg in self._term_lazy:
+            df = df.unionByName(seg)
+        if self._pending_term is not None:
+            df = df.unionByName(self._pending_term)
         return df
 
     def _split_frontier(self, full: DataFrame, materialize_done: bool = False) -> None:
@@ -356,6 +371,8 @@ class CrawlEngine:
             )
         self._frontier_done = [done]
         self._pending_term = None
+        self._term_lazy = []
+        self._term_lazy_rows = 0
 
     def _persist_state(self) -> None:
         """Truncate lineage in memory (no durable write) — used between
@@ -379,9 +396,28 @@ class CrawlEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         n = self._state_partitions()
-        tables = [("frontier", self._frontier), ("seen", self._seen)]
         if self._pending_term is not None:
-            tables.append(("term", self._pending_term))
+            # retiring rows accumulate lazily (projections of this round's
+            # already-checkpointed outputs) until the batch is worth a
+            # materialization job (cfg.term_flush_rows)
+            self._term_lazy.append(self._pending_term)
+            self._term_lazy_rows += self._pending_term_rows
+            self._pending_term = None
+        flush = self._term_lazy and (
+            self._term_lazy_rows >= max(self.cfg.term_flush_rows, 1)
+            or self.cfg.term_flush_rows == 0
+            # a delta built over a parquet-rooted live set must not stay
+            # lazy past this persist: keep_rounds retention may prune the
+            # round dir it references (the same dangling-file hazard the
+            # segment re-root logic guards against)
+            or self._live_parquet_rooted
+        )
+        tables = [("frontier", self._frontier), ("seen", self._seen)]
+        if flush:
+            batch = self._term_lazy[0]
+            for seg in self._term_lazy[1:]:
+                batch = batch.unionByName(seg)
+            tables.append(("term", batch))
         with self._timed("persist"), ThreadPoolExecutor(max_workers=3) as ex:
             fs = {
                 name: ex.submit(
@@ -390,13 +426,15 @@ class CrawlEngine:
                 for name, df in tables
             }
             self._frontier = self._reset_stats(fs["frontier"].result())
+            self._live_parquet_rooted = False  # live now on fresh blocks
             self._seen = self._reset_stats(fs["seen"].result())
             if "term" in fs:
                 # terminal segment: materialized once, appended, never
                 # touched again (no stats reset needed — segments never
                 # re-enter an iterative join)
                 self._frontier_done.append(fs["term"].result())
-                self._pending_term = None
+                self._term_lazy = []
+                self._term_lazy_rows = 0
 
     def _reset_stats(self, df: DataFrame) -> DataFrame:
         """Rebuild ``df`` as a fresh LogicalRDD leaf over its (already
@@ -672,6 +710,7 @@ class CrawlEngine:
         # parquet view here broke retention: segments are immutable and
         # would never be re-rooted again)
         self._frontier = full.filter(F.col("status") == STATUS_NEW)
+        self._live_parquet_rooted = True
         self._pending_term = None
         self._seen = self.spark.read.schema(SEEN_SCHEMA).parquet(str(rd / "seen"))
         self._results = self.spark.read.schema(RESULT_SCHEMA).parquet(str(rd / "results"))
@@ -739,6 +778,7 @@ class CrawlEngine:
             # hash/host/bucket values recomputed; only NEW rows can flip).
             restored = eng._stamp_url_cols(restored)
         eng._split_frontier(restored, materialize_done=True)
+        eng._live_parquet_rooted = True
         eng._seen = spark.read.schema(SEEN_SCHEMA).parquet(str(rd / "seen"))
         eng._results = spark.read.schema(RESULT_SCHEMA).parquet(str(rd / "results"))
         eng._durable_round = eng.round
@@ -987,6 +1027,7 @@ class CrawlEngine:
         chain_records: list[DataFrame] = []     # frontier-shaped terminal rows
         chain_src = processed                   # hop-1 continuations come from the claim's dispatch
         hops = 0
+        hops_rows = 0
         _chain_t0 = time.perf_counter() if self.cfg.timing else 0.0
         while n_next > 0 and hops < _CHAIN_MAX_HOPS:
             hops += 1
@@ -1069,6 +1110,7 @@ class CrawlEngine:
                     cproc, _cm = _hop(_dedup(got))
             n_next = _cm["n_next"]
             self._cum_claimed += _cm["n"]
+            hops_rows += _cm["n"]
             chain_parts.append(cproc)
             chain_records.append(
                 cproc.withColumn(
@@ -1357,6 +1399,9 @@ class CrawlEngine:
 
         self._frontier = updated_frontier
         self._pending_term = term_delta
+        # upper-bound estimate for the flush heuristic: every claimed job
+        # plus every chain-hop record can retire this round
+        self._pending_term_rows = n_claimed + hops_rows
         self._seen = self._seen.unionByName(new_seen)
         if cfg.seen_bloom and self._bloom is not None:
             from ..operators.bloom import build_bloom

@@ -351,7 +351,7 @@ def test_terminal_segments_are_materialized_once(spark, tmp_path):
     eng = CrawlEngine(
         spark, pages, str(tmp_path / "wd"),
         CrawlConfig(extract_email=False, now_micros=1786838400000000,
-                    checkpoint_every=100),
+                    checkpoint_every=100, term_flush_rows=0),
     )
     eng.seed_from_queries(
         [(s["query"].split(" #!#")[0], s["custom_id"]) for s in corpus.seeds]
@@ -369,3 +369,36 @@ def test_terminal_segments_are_materialized_once(spark, tmp_path):
     full_n = eng.frontier.count()
     parts = eng._frontier.count() + sum(s.count() for s in eng._frontier_done)
     assert full_n == parts
+
+
+def test_terminal_batching_conserves_rows(spark, tmp_path):
+    """With the default flush threshold, tiny rounds accumulate retiring
+    rows lazily — the full view, counters, and snapshots must still see
+    every row, and a durable snapshot must round-trip identically."""
+    from google_maps_scraper_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from google_maps_scraper_spark.sources.corpus import (
+        corpus_to_spark,
+        generate_corpus,
+    )
+
+    corpus = generate_corpus(n_seeds=2, places_per_serp=4)
+    pages = corpus_to_spark(spark, corpus)
+    kw = dict(extract_email=True, now_micros=1786838400000000)
+    a = CrawlEngine(spark, pages, str(tmp_path / "a"), CrawlConfig(**kw))
+    a.seed_from_queries(
+        [(s["query"].split(" #!#")[0], s["custom_id"]) for s in corpus.seeds]
+    )
+    ca = a.run()
+    assert a._term_lazy  # tiny corpus: deltas stayed lazy (batched)
+    b = CrawlEngine(
+        spark, pages, str(tmp_path / "b"), CrawlConfig(term_flush_rows=0, **kw)
+    )
+    b.seed_from_queries(
+        [(s["query"].split(" #!#")[0], s["custom_id"]) for s in corpus.seeds]
+    )
+    cb = b.run()
+    assert not b._term_lazy  # flush-every-round mode
+    assert ca == cb
+    # resume from a's durable snapshot reproduces the same counters
+    r = CrawlEngine.resume(spark, pages, str(tmp_path / "a"), CrawlConfig(**kw))
+    assert r.counters() == ca
