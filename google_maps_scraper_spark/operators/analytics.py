@@ -620,6 +620,77 @@ def docs_fingerprint(spark, sf):
 
 
 @_q(
+    "docs_vocab_topk",
+    """
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token ASC
+    LIMIT 20
+    """,
+)
+def docs_vocab_topk(spark, sf):
+    """Global vocabulary top-k — the corpus-level token-frequency table a
+    training pipeline builds for tokenizer fitting / vocab pruning.
+
+    Scale shape: explode happens map-side and feeds a partial (map-side
+    combine) aggregation, so the single shuffle carries one row per
+    (partition, distinct token) — bounded by vocabulary size, not corpus
+    size.  The final top-k is an ``orderBy().limit()`` that Spark executes
+    as TakeOrdered (per-partition heaps + driver merge of k rows), never a
+    full global sort."""
+    d = load(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+@_q(
+    "docs_word_rep_stats",
+    """
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_words,
+           CAST(len(toks) - len(list_distinct(toks)) AS BIGINT) AS dup_words
+    FROM (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    )
+    ORDER BY doc_id
+    """,
+)
+def docs_word_rep_stats(spark, sf):
+    """Within-document repetition stats (the Gopher-style repetition
+    filters' raw signal): total words, distinct words, and the duplicate
+    surplus per document.  Counts are exact integers so the oracle compare
+    is bit-stable; the duplicate *fraction* is ``dup_words / n_words``
+    downstream.
+
+    Scale shape: ``split`` + ``array_distinct`` + ``size`` are all
+    JVM-side array expressions evaluated per row inside the scan stage —
+    no explode, no shuffle, no Python."""
+    d = load(spark, sf, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_words"),
+        (F.size(toks) - F.size(F.array_distinct(toks)))
+        .cast("long")
+        .alias("dup_words"),
+    ).orderBy("doc_id")
+
+
+@_q(
     "multimodal_binary_meta",
     """
     SELECT doc_id, octet_length(encode(text)) AS byte_len, sha256(text) AS payload_sha
