@@ -114,9 +114,11 @@ class CrawlConfig:
     robots: list[tuple[str, str]] = field(default_factory=list)
     # (host, path_prefix) deny rules; engine-new (north_rule), absent in ref.
     checkpoint_every: int = 1
-    # durable-checkpoint cadence: 1 = every round (max resumability); N>1
+    # durable-commit cadence: 1 = every round (max resumability); N>1
     # keeps intermediate rounds as in-memory localCheckpoints (lineage still
-    # truncated) and writes the durable snapshot every N rounds + at fixpoint.
+    # truncated) and commits every N rounds + at fixpoint.  Since the delta
+    # log landed, a commit writes O(rows appended since the last commit) —
+    # per-round durability no longer rewrites the state tables.
     # Durable writes OVERLAP the next round's compute (round-3 driver-latency
     # work): round N's snapshot commits while round N+1 runs, so a crash can
     # lose at most the most recent round — resume then deterministically
@@ -131,7 +133,17 @@ class CrawlConfig:
     # every round — full time-travel history (≙ Iceberg snapshot retention /
     # expire_snapshots; resume(from_round=N) targets any retained round).
     # K >= 2 is required to prune anything: the previous round's parquet can
-    # back live DataFrames until the next commit completes.
+    # back live DataFrames until the next commit completes.  NB retention
+    # interacts with the delta log: a commit whose chain would reference a
+    # dir older than the window COMPACTS that table first (full rewrite), so
+    # aggressive retention trades away O(delta) commit cost — keep_rounds
+    # well above compact_chain keeps both.
+    compact_chain: int = 16
+    # delta-log chain bound (≙ Iceberg rewrite_data_files cadence): when a
+    # table's manifest chain would exceed this many delta dirs, the commit
+    # rewrites it as one compacted full table.  Bounds resume/read fan-in
+    # and retention debt; amortized rewrite cost is O(total/compact_chain)
+    # per commit.
     seen_bloom: bool = False
     # opt-in Bloom accelerator in front of the exact seen anti-join: a
     # broadcast filter (per-partition shards, treeReduce-merged, maintained
@@ -215,8 +227,34 @@ class CrawlEngine:
         self._term_lazy: list[DataFrame] = []  # unflushed lazy term deltas
         self._term_lazy_rows = 0               # upper-bound row estimate
         self._live_parquet_rooted = False      # live set backed by a round dir
-        self._seen: DataFrame | None = None
+        # The seen set is append-only too: immutable per-round admission
+        # segments, each materialized once (the seen analog of
+        # _frontier_done).  self._seen stays the union VIEW every consumer
+        # reads; only the newest delta is ever materialized.
+        self._seen_segs: list[DataFrame] = []
+        self._pending_seen: DataFrame | None = None  # this round's admissions
+        self._seen: DataFrame | None = None          # union view over segments
+        # Results are append-only: _results_base is the durably-logged part
+        # (re-rooted at the delta-log parquet chain after each commit),
+        # _results_new the per-round deltas since; self._results is the view.
+        self._results_base: DataFrame | None = None
+        self._results_new: list[DataFrame] = []
         self._results: DataFrame | None = None
+        # Durable delta log (Iceberg-append analog): each committed round
+        # dir holds ONLY the rows appended since the previous commit for the
+        # append-only tables (seen / results / term) plus the full (small)
+        # live frontier; the manifest pins the exact chain of immutable
+        # delta dirs composing the snapshot and the running row totals.
+        # Durability bookkeeping is DECOUPLED from the in-memory segment
+        # machinery: the *_since_durable lists hold the delta DataFrames not
+        # yet covered by a committed chain; a commit captures a prefix of
+        # each list and drops it at the join point on success.  In-memory
+        # segment compaction can therefore merge old segments freely — it
+        # never disturbs the captured refs.
+        self._seen_since_durable: list[DataFrame] = []
+        self._term_since_durable: list[DataFrame] = []
+        self._log: dict[str, list[str]] = {"seen": [], "results": [], "term": []}
+        self._totals: dict = {"term": {}, "seen": 0, "results": 0}
         self.plan_log: dict[str, str] = {}  # filled when cfg.capture_plans
         self.phase_times: dict[str, float] = defaultdict(float)  # cfg.timing
 
@@ -245,8 +283,18 @@ class CrawlEngine:
             ))
         df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
         self._split_frontier(self._stamp_url_cols(df), materialize_done=True)
-        self._seen = self.spark.createDataFrame([], SEEN_SCHEMA)
-        self._results = self.spark.createDataFrame([], RESULT_SCHEMA)
+        self._seen_segs = []
+        self._pending_seen = None
+        self._rebuild_seen_view()
+        self._results_base = self.spark.createDataFrame([], RESULT_SCHEMA)
+        self._results_new = []
+        self._rebuild_results_view()
+        self._log = {"seen": [], "results": [], "term": []}
+        self._totals = {"term": {}, "seen": 0, "results": 0}
+        self._seen_since_durable = []
+        # robots can deny SEED urls: the split's terminal part (possibly
+        # empty) must reach the durable term log like any other retirement
+        self._term_since_durable = [self._frontier_done[0]]
         self.round = 0
         if self.workdir.exists():
             shutil.rmtree(self.workdir)
@@ -374,33 +422,70 @@ class CrawlEngine:
         self._term_lazy = []
         self._term_lazy_rows = 0
 
+    def _rebuild_seen_view(self) -> None:
+        """self._seen = union of the immutable admission segments (+ the
+        not-yet-materialized current round's delta, so mid-round consumers
+        see a consistent set)."""
+        df = self.spark.createDataFrame([], SEEN_SCHEMA)
+        for seg in self._seen_segs:
+            df = df.unionByName(seg)
+        if self._pending_seen is not None:
+            df = df.unionByName(self._pending_seen)
+        self._seen = df
+
+    def _rebuild_results_view(self) -> None:
+        df = self._results_base
+        for d in self._results_new:
+            df = df.unionByName(d)
+        self._results = df
+
+    def _union_all(self, parts: list[DataFrame], schema) -> DataFrame:
+        if not parts:
+            return self.spark.createDataFrame([], schema)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    # in-memory seen-segment compaction threshold: past this many union legs
+    # the per-round anti-join plan's compile cost starts to matter, so the
+    # durable-covered prefix is merged into one segment (amortized O(total/48)
+    # per round; the since-durable refs are separate list entries and are
+    # never disturbed by the merge)
+    _SEEN_COMPACT_SEGS = 48
+
     def _persist_state(self) -> None:
         """Truncate lineage in memory (no durable write) — used between
         durable checkpoints when ``checkpoint_every > 1``.
 
-        Only the tables the NEXT round reads get materialized (frontier for
-        the claim, seen for the anti-join, pending for the email join);
-        results are append-only and stay lazy until the next durable
-        checkpoint — their per-round deltas root in this round's already-
-        checkpointed ``fetched``/``extracted``, so deferred evaluation costs
-        one plan compile at checkpoint time instead of one per round.
+        O(delta) per round: only this round's DELTAS get materialized (the
+        live frontier for the claim, the pending seen admissions for the
+        anti-join).  The seen table is never re-copied — admissions append
+        as immutable segments, exactly like the frontier's terminal
+        segments.  Results stay lazy until the next durable checkpoint —
+        their per-round deltas root in this round's already-checkpointed
+        ``fetched``/``extracted``, so deferred evaluation costs one plan
+        compile at checkpoint time instead of one per round.
 
         Every persisted table is coalesced first: per-round unions otherwise
         accumulate partitions round over round (old ∪ children ∪ ...), and by
         round R a 1 k-row frontier schedules 100+ tasks per action — pure
         scheduler overhead locally and straggler fodder on a cluster.
 
-        The three materializations are independent Spark jobs, so they run
+        The materializations are independent Spark jobs, so they run
         concurrently from a thread pool (driver latency ≈ max, not sum; on a
         real cluster concurrent jobs also keep executors fed)."""
         from concurrent.futures import ThreadPoolExecutor
 
         n = self._state_partitions()
+        n_delta = max(1, min(n, 32))  # deltas are claim-bounded, not state-sized
         if self._pending_term is not None:
             # retiring rows accumulate lazily (projections of this round's
             # already-checkpointed outputs) until the batch is worth a
-            # materialization job (cfg.term_flush_rows)
+            # materialization job (cfg.term_flush_rows); the durable log
+            # keeps its own (cheap) ref to every per-round delta
             self._term_lazy.append(self._pending_term)
+            self._term_since_durable.append(self._pending_term)
             self._term_lazy_rows += self._pending_term_rows
             self._pending_term = None
         flush = self._term_lazy and (
@@ -412,22 +497,45 @@ class CrawlEngine:
             # segment re-root logic guards against)
             or self._live_parquet_rooted
         )
-        tables = [("frontier", self._frontier), ("seen", self._seen)]
+        tables = [("frontier", (self._frontier, n))]
+        seen_obs = Observation()
+        if self._pending_seen is not None:
+            tables.append((
+                "seen_delta",
+                (
+                    self._pending_seen.observe(
+                        seen_obs, F.count(F.lit(1)).alias("n")
+                    ),
+                    n_delta,
+                ),
+            ))
         if flush:
             batch = self._term_lazy[0]
             for seg in self._term_lazy[1:]:
                 batch = batch.unionByName(seg)
-            tables.append(("term", batch))
+            tables.append(("term", (batch, n)))
         with self._timed("persist"), ThreadPoolExecutor(max_workers=3) as ex:
             fs = {
                 name: ex.submit(
-                    lambda df: df.coalesce(n).localCheckpoint(eager=True), df
+                    lambda df, k: df.coalesce(k).localCheckpoint(eager=True), df, k
                 )
-                for name, df in tables
+                for name, (df, k) in tables
             }
             self._frontier = self._reset_stats(fs["frontier"].result())
             self._live_parquet_rooted = False  # live now on fresh blocks
-            self._seen = self._reset_stats(fs["seen"].result())
+            if "seen_delta" in fs:
+                # seen admissions are self-referential lineage (each delta is
+                # anti-joined against the union of all earlier ones), so a
+                # plain localCheckpoint leaf would compound sizeInBytes
+                # multiplicatively round over round — reset, like the frontier.
+                # Rounds that admit nothing (place/email rounds) append no
+                # segment at all: the view, the durable chain, and the
+                # anti-join plan stay free of empty legs.
+                seg = self._reset_stats(fs["seen_delta"].result())
+                if seen_obs.get["n"] > 0:
+                    self._seen_segs.append(seg)
+                    self._seen_since_durable.append(seg)
+                self._pending_seen = None
             if "term" in fs:
                 # terminal segment: materialized once, appended, never
                 # touched again (no stats reset needed — segments never
@@ -435,6 +543,21 @@ class CrawlEngine:
                 self._frontier_done.append(fs["term"].result())
                 self._term_lazy = []
                 self._term_lazy_rows = 0
+        if len(self._seen_segs) > self._SEEN_COMPACT_SEGS:
+            # merge the durable-covered prefix into one block-backed segment
+            # (the newest len(_seen_since_durable) segments are pending a
+            # commit capture and keep their own list identities)
+            keep_tail = len(self._seen_since_durable)
+            prefix = self._seen_segs[: len(self._seen_segs) - keep_tail]
+            if len(prefix) > 1:
+                merged = prefix[0]
+                for seg in prefix[1:]:
+                    merged = merged.unionByName(seg)
+                merged = self._reset_stats(
+                    merged.coalesce(n).localCheckpoint(eager=True)
+                )
+                self._seen_segs = [merged] + self._seen_segs[len(prefix):]
+        self._rebuild_seen_view()
 
     def _reset_stats(self, df: DataFrame) -> DataFrame:
         """Rebuild ``df`` as a fresh LogicalRDD leaf over its (already
@@ -518,6 +641,17 @@ class CrawlEngine:
 
     # -- durable checkpoint protocol ------------------------------------------
     #
+    # DELTA LOG (round 4, ≙ Iceberg append snapshots): a committed round dir
+    # holds the full (small) live frontier plus, per append-only table
+    # (seen / results / term), ONLY the rows appended since the previous
+    # commit; the manifest pins the chain of immutable delta dirs composing
+    # the snapshot and the running row totals.  Per-commit I/O is O(delta),
+    # not O(total state) — the property that makes per-round durability
+    # affordable at a 10^10-row frontier.  Chains are bounded by compaction
+    # (cfg.compact_chain, ≙ rewrite_data_files); retention (cfg.keep_rounds,
+    # ≙ expire_snapshots) prunes dirs outside the window, forcing compaction
+    # first so the surviving chain is self-contained.
+    #
     # Write-then-flip, optionally OVERLAPPED with the next round: tables land
     # in a temp dir, one atomic rename publishes the round dir, and LATEST
     # (the commit point resume reads) is flipped last (atomically, via its
@@ -532,8 +666,9 @@ class CrawlEngine:
     # Round 3 submits the write to a single-thread executor and runs the NEXT
     # round's claim/dispatch concurrently; the future is joined at the next
     # round's start (or at finalize), which also surfaces write errors and
-    # re-roots the append-only results table at the committed parquet.
-    # Counters are computed at fixpoint only — mid-run manifests carry null.
+    # re-roots the append-only results table at the committed chain.
+    # Counters ride the delta writes as Observations folded into the running
+    # totals, so EVERY commit's manifest carries exact counters for free.
     #
     # Split-brain fencing: the engine stamps workdir/WRITER with a per-run
     # token at seed/resume; the snapshot writer re-checks the token right
@@ -553,64 +688,191 @@ class CrawlEngine:
                 "aborting checkpoint (WRITER fencing token changed)"
             )
 
+    @staticmethod
+    def _round_of(rel_path: str) -> int:
+        return int(rel_path.split("/", 1)[0].split("=")[1])
+
+    def _read_chain(self, rel_paths: list[str], schema) -> DataFrame:
+        """Union view over a manifest chain's immutable parquet delta dirs
+        (bounded legs: compaction caps chain length at cfg.compact_chain)."""
+        if not rel_paths:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(schema).parquet(str(self.workdir / rel_paths[0]))
+        for p in rel_paths[1:]:
+            df = df.unionByName(
+                self.spark.read.schema(schema).parquet(str(self.workdir / p))
+            )
+        return df
+
+    def _term_full(self) -> DataFrame:
+        """Every terminal frontier row (segments + lazy deltas) — the
+        compaction source for the durable term log.  ``_pending_term`` is
+        deliberately EXCLUDED: commits always run after ``_persist_state``
+        has moved it into the lazy list, and a pending delta is not yet in
+        ``_term_since_durable`` — including it here would double-count its
+        rows at the next delta commit."""
+        df = self._frontier_done[0]
+        for seg in self._frontier_done[1:]:
+            df = df.unionByName(seg)
+        for seg in self._term_lazy:
+            df = df.unionByName(seg)
+        return df
+
+    def _capture_commit(self) -> dict:
+        """Snapshot the durable-commit inputs on the DRIVER thread: delta
+        lists are copied (the writer thread must see a frozen prefix), marks
+        record how much of each since-durable list the commit covers, and the
+        full views back the compaction path."""
+        return {
+            "round": self.round,
+            "live": self._frontier,
+            "deltas": {
+                "seen": list(self._seen_since_durable),
+                "results": list(self._results_new),
+                "term": list(self._term_since_durable),
+            },
+            "marks": {
+                "seen": len(self._seen_since_durable),
+                "results": len(self._results_new),
+                "term": len(self._term_since_durable),
+            },
+            "prev_log": {k: list(v) for k, v in self._log.items()},
+            "prev_totals": json.loads(json.dumps(self._totals)),
+            "full": {
+                "seen": self._seen,
+                "results": self._results,
+                "term": self._term_full(),
+            },
+        }
+
     def _write_snapshot(self, *a, **kw):
         with self._timed("snapshot_write"):
             return self._write_snapshot_inner(*a, **kw)
 
-    def _write_snapshot_inner(
-        self,
-        rnd: int,
-        frontier: DataFrame,
-        seen: DataFrame,
-        results: DataFrame,
-        bloom_bytes: bytes | None,
-        counters: dict | None,
-    ) -> tuple[int, str]:
-        """Write one committed round snapshot; runs on the checkpoint thread.
-        Returns (round, results_path) for the joiner."""
+    _TERM_COMBOS = [
+        (k, st)
+        for k in (KIND_SEARCH, KIND_PLACE, KIND_EMAIL, KIND_REVIEWS)
+        for st in (STATUS_QUEUED, STATUS_DONE, STATUS_FAILED)
+    ]
+
+    def _write_snapshot_inner(self, cap: dict, bloom_bytes: bytes | None) -> dict:
+        """Write one committed round as a DELTA-LOG entry; runs on the
+        checkpoint thread.  The round dir holds the full (small) live
+        frontier plus, per append-only table (seen/results/term), either
+        this commit's delta or a compacted full rewrite; the manifest pins
+        the chain of immutable dirs composing the snapshot and the running
+        row totals (≙ an Iceberg append snapshot's manifest list +
+        summary).  Per-commit I/O is O(delta), not O(total state) — at a
+        10^10-row frontier this is what makes per-round durability
+        affordable.  Compaction (≙ rewrite_data_files) triggers when the
+        chain would exceed ``cfg.compact_chain`` legs or reference a dir the
+        retention window is about to expire.  Returns the commit record the
+        join point applies."""
         from concurrent.futures import ThreadPoolExecutor
 
         self._check_writer()
+        rnd = cap["round"]
         rd = self.workdir / f"round={rnd:04d}"
         tmp = self.workdir / f".tmp.round={rnd:04d}"
         for stale in (tmp, rd):  # uncommitted leftovers from a crashed attempt
             if stale.exists():
                 shutil.rmtree(stale)
+        keep = self.cfg.keep_rounds
+        cutoff = rnd - max(int(keep), 2) + 1 if keep is not None else None
         n = self._state_partitions()
-        # counters ride the write (≙ the exiter's incremental counting,
+        n_delta = max(1, min(n, 32))
+
+        # counters ride the writes (≙ the exiter's incremental counting,
         # exiter/exiter.go:49-93): Observations fill during the parquet
-        # jobs, so the fixpoint status/result/seen counts cost ZERO extra
-        # scans — the round-4 profile measured the separate fixpoint
-        # aggregation at 62-109 s on the 2.1M-page corpus.
-        f_obs, s_obs, r_obs = Observation(), Observation(), Observation()
-        frontier = frontier.observe(f_obs, *[
-            F.sum(
-                F.when(
-                    (F.col("kind") == k) & (F.col("status") == st), 1
-                ).otherwise(0)
-            ).cast("long").alias(f"{k}_{st}")
+        # jobs, so status/result/seen counts cost ZERO extra scans, and the
+        # delta protocol accumulates them into running totals — every
+        # commit's manifest carries exact counters for free.
+        writes: list[tuple[str, DataFrame, int]] = []
+        f_obs = Observation()
+        live = cap["live"].observe(f_obs, *[
+            F.sum(F.when(F.col("kind") == k, 1).otherwise(0))
+            .cast("long").alias(f"{k}_{STATUS_NEW}")
             for k in (KIND_SEARCH, KIND_PLACE, KIND_EMAIL, KIND_REVIEWS)
-            for st in (STATUS_NEW, STATUS_QUEUED, STATUS_DONE, STATUS_FAILED)
         ])
-        seen = seen.observe(s_obs, F.count(F.lit(1)).alias("n"))
-        results = results.observe(r_obs, F.count(F.lit(1)).alias("n"))
-        with ThreadPoolExecutor(max_workers=3) as ex:
+        writes.append(("frontier", live, n))
+
+        actions: dict[str, str] = {}
+        obs: dict[str, Observation] = {}
+        rel = {t: f"round={rnd:04d}/{t}" for t in ("seen", "results", "term")}
+        for t in ("seen", "results", "term"):
+            prev, deltas = cap["prev_log"][t], cap["deltas"][t]
+            grown = len(prev) + (1 if deltas else 0)
+            compact = bool(prev) and (
+                grown > self.cfg.compact_chain
+                or (cutoff is not None
+                    and any(self._round_of(p) < cutoff for p in prev))
+            )
+            if compact:
+                df, parts = cap["full"][t], n
+                actions[t] = "compact"
+            elif deltas:
+                df = deltas[0]
+                for d in deltas[1:]:
+                    df = df.unionByName(d)
+                parts = n_delta
+                actions[t] = "delta"
+            else:
+                actions[t] = "none"
+                continue
+            o = Observation()
+            if t == "term":
+                df = df.observe(o, *[
+                    F.sum(
+                        F.when(
+                            (F.col("kind") == k) & (F.col("status") == st), 1
+                        ).otherwise(0)
+                    ).cast("long").alias(f"{k}_{st}")
+                    for k, st in self._TERM_COMBOS
+                ])
+            else:
+                df = df.observe(o, F.count(F.lit(1)).alias("n"))
+            obs[t] = o
+            writes.append((t, df, parts))
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
             list(ex.map(
-                lambda nd: nd[1].coalesce(n).write.mode("overwrite").parquet(
-                    str(tmp / nd[0])
+                lambda w: w[1].coalesce(w[2]).write.mode("overwrite").parquet(
+                    str(tmp / w[0])
                 ),
-                (("frontier", frontier), ("seen", seen), ("results", results)),
+                writes,
             ))
+
+        totals = cap["prev_totals"]
+        log = {t: list(cap["prev_log"][t]) for t in ("seen", "results", "term")}
+        for t in ("seen", "results"):
+            if actions[t] == "compact":
+                totals[t] = obs[t].get["n"]
+                log[t] = [rel[t]]
+            elif actions[t] == "delta":
+                totals[t] += obs[t].get["n"]
+                log[t].append(rel[t])
+        if actions["term"] == "compact":
+            totals["term"] = {k: v for k, v in obs["term"].get.items() if v}
+            log["term"] = [rel["term"]]
+        elif actions["term"] == "delta":
+            for k, v in obs["term"].get.items():
+                if v:
+                    totals["term"][k] = totals["term"].get(k, 0) + v
+            log["term"].append(rel["term"])
+
         wc = {k: v for k, v in f_obs.get.items() if v}
-        wc["results"] = r_obs.get["n"]
-        wc["seen"] = s_obs.get["n"]
-        self._counters_from_write = (rnd, wc)
+        for k, v in totals["term"].items():
+            wc[k] = wc.get(k, 0) + v
+        wc["seen"] = totals["seen"]
+        wc["results"] = totals["results"]
+
         if bloom_bytes is not None:
             (tmp / "bloom.bin").write_bytes(bloom_bytes)
         manifest = {
             "round": rnd,
-            "counters": counters,
-            "tables": {name: str(rd / name) for name in ("frontier", "seen", "results")},
+            "counters": {**wc, "round": rnd},
+            "chain": log,
+            "totals": totals,
             "bloom": (
                 {"m_bits": self._bloom.m_bits, "k": self._bloom.k}
                 if bloom_bytes is not None else None
@@ -640,28 +902,37 @@ class CrawlEngine:
         latest_tmp = self.workdir / ".LATEST.tmp"
         latest_tmp.write_text(str(rnd))
         os.replace(latest_tmp, self.workdir / "LATEST")
-        # retention (keep-last-K): prune round dirs older than the window.
-        # Safe here — post-flip, rnd is the commit point; the only parquet a
-        # live DataFrame may still read is the PREVIOUS round's results
-        # (until the next _join_pending_checkpoint re-roots), which K >= 2
-        # always retains (enforced below).
-        keep = self.cfg.keep_rounds
-        if keep is not None:
-            cutoff = rnd - max(int(keep), 2) + 1
+        # retention (keep-last-K): prune round dirs older than the window
+        # unless the NEW chain still references them (the compaction trigger
+        # above makes the new chain self-contained within the window, so the
+        # reference check is a belt-and-suspenders guard).  Post-flip, rnd is
+        # the commit point; the writes above already consumed any parquet the
+        # captured deltas referenced, so pruning here cannot starve them.
+        if cutoff is not None:
+            referenced = {self._round_of(p) for ps in log.values() for p in ps}
             for d in sorted(self.workdir.glob("round=*")):
                 try:
                     r_old = int(d.name.split("=")[1])
                 except ValueError:
                     continue
-                if r_old < cutoff:
+                if r_old < cutoff and r_old not in referenced:
                     shutil.rmtree(d, ignore_errors=True)
-        return rnd, str(rd / "results")
+        return {
+            "round": rnd,
+            "log": log,
+            "totals": totals,
+            "counters": wc,
+            "marks": cap["marks"],
+        }
 
-    def _checkpoint_async(self, counters: dict | None = None) -> None:
-        """Submit the durable snapshot of the CURRENT state and return —
+    def _checkpoint_async(self) -> None:
+        """Submit the durable DELTA commit of the current state and return —
         the write overlaps the next round's claim/dispatch compute.  State
-        must already be materialized (``_persist_state``): the writers then
-        stream executor-local blocks instead of recomputing plans."""
+        must already be materialized (``_persist_state``): the delta writers
+        then stream executor-local blocks instead of recomputing plans (term
+        deltas may still be lazy projections of checkpointed round outputs —
+        re-evaluating those claim-sized plans on the writer thread is the
+        batching design's accepted cost)."""
         from concurrent.futures import ThreadPoolExecutor
 
         self._join_pending_checkpoint()   # serialize rounds; surface errors
@@ -671,54 +942,59 @@ class CrawlEngine:
             )
         bloom_bytes = self._bloom.to_bytes() if self._bloom is not None else None
         self._pending_ckpt = self._ckpt_pool.submit(
-            self._write_snapshot,
-            self.round, self._frontier_full(), self._seen, self._results,
-            bloom_bytes, counters,
+            self._write_snapshot, self._capture_commit(), bloom_bytes
         )
 
+    def _apply_commit(self, rec: dict) -> None:
+        """Fold a successful commit record into driver state: advance the
+        durable mark, adopt the new chain + totals, drop the covered prefix
+        of every since-durable list, and re-root the durably-logged results
+        at the committed chain parquet (valid because submits happen at
+        round end and joins at the next round's start, so no deltas were
+        appended in between)."""
+        self._durable_round = rec["round"]
+        self._log = rec["log"]
+        self._totals = rec["totals"]
+        self._counters_from_write = (rec["round"], rec["counters"])
+        m = rec["marks"]
+        self._seen_since_durable = self._seen_since_durable[m["seen"]:]
+        self._term_since_durable = self._term_since_durable[m["term"]:]
+        self._results_new = self._results_new[m["results"]:]
+        self._results_base = self._read_chain(rec["log"]["results"], RESULT_SCHEMA)
+        self._rebuild_results_view()
+
     def _join_pending_checkpoint(self) -> None:
-        """Block on the in-flight snapshot (if any).  Re-raises write errors
-        and re-roots ``results`` at the committed parquet — valid because
-        submits happen at round end and joins at the next round's start, so
-        no deltas were appended in between."""
+        """Block on the in-flight commit (if any); re-raises write errors."""
         f, self._pending_ckpt = self._pending_ckpt, None
         if f is None:
             return
         with self._timed("ckpt_join"):
-            rnd, results_path = f.result()
-            self._durable_round = rnd
-            self._results = self.spark.read.schema(RESULT_SCHEMA).parquet(
-                results_path
-            )
+            self._apply_commit(f.result())
 
     def _checkpoint(self) -> None:
-        """Synchronous durable snapshot (seed round-0 and finalize): write,
-        commit, then re-root ALL state at the committed parquet (metadata-only
-        counts for any later aggregation; lineage fully truncated)."""
+        """Synchronous durable commit (seed round-0 and finalize): write,
+        commit, then re-root ALL state at the committed chain (metadata-only
+        parquet reads for any later consumer; lineage fully truncated).
+        Commits stop here, so chain-parquet views cannot dangle under
+        retention — LATEST is never pruned."""
         self._join_pending_checkpoint()
-        rnd, _ = self._write_snapshot(
-            self.round, self._frontier_full(), self._seen, self._results,
+        rec = self._write_snapshot(
+            self._capture_commit(),
             self._bloom.to_bytes() if self._bloom is not None else None,
-            None,  # counters observed during the write; backfilled below
         )
-        rd = self.workdir / f"round={rnd:04d}"
-        full = self.spark.read.schema(FRONTIER_SCHEMA).parquet(str(rd / "frontier"))
-        # re-root only the LIVE part at the committed parquet; the terminal
-        # segments keep their existing materialized blocks — their content
-        # is exactly the parquet's non-NEW rows, and block-backed segments
-        # cannot dangle when keep_rounds later prunes this round dir (a
-        # parquet view here broke retention: segments are immutable and
-        # would never be re-rooted again)
-        self._frontier = full.filter(F.col("status") == STATUS_NEW)
+        self._apply_commit(rec)
+        rd = self.workdir / f"round={rec['round']:04d}"
+        # the live table holds exactly the NEW rows; terminal segments keep
+        # their existing materialized blocks (block-backed segments cannot
+        # dangle if a later resume's retention prunes this round dir)
+        self._frontier = self.spark.read.schema(FRONTIER_SCHEMA).parquet(
+            str(rd / "frontier")
+        )
         self._live_parquet_rooted = True
         self._pending_term = None
-        self._seen = self.spark.read.schema(SEEN_SCHEMA).parquet(str(rd / "seen"))
-        self._results = self.spark.read.schema(RESULT_SCHEMA).parquet(str(rd / "results"))
-        self._durable_round = rnd
-        mpath = rd / "manifest.json"
-        manifest = json.loads(mpath.read_text())
-        manifest["counters"] = self.counters()  # write-observed, no rescan
-        mpath.write_text(json.dumps(manifest, indent=2))
+        self._seen_segs = [self._read_chain(rec["log"]["seen"], SEEN_SCHEMA)]
+        self._seen_since_durable = []
+        self._rebuild_seen_view()
 
     @classmethod
     def resume(
@@ -769,18 +1045,68 @@ class CrawlEngine:
         rd = eng.workdir / f"round={latest:04d}"
         manifest = json.loads((rd / "manifest.json").read_text())
         eng.round = manifest["round"]
+        chain = manifest["chain"]
+        for t, paths in chain.items():
+            for p in paths:
+                if not (eng.workdir / p).exists():
+                    raise ValueError(
+                        f"round {latest}'s {t} chain references {p}, which "
+                        "retention has pruned — this snapshot is no longer "
+                        "resumable (pick a newer round or disable keep_rounds)"
+                    )
         restored = spark.read.schema(FRONTIER_SCHEMA).parquet(str(rd / "frontier"))
+        denied = None
         if eng.cfg.robots:
             # robots rules may differ from the run that wrote this snapshot
             # (admission-time stamping alone would let already-persisted NEW
             # jobs slip past newly added rules — round-3 ADVICE).  Re-stamp
-            # the restored frontier: deterministic and idempotent (same
+            # the restored LIVE frontier: deterministic and idempotent (same
             # hash/host/bucket values recomputed; only NEW rows can flip).
-            restored = eng._stamp_url_cols(restored)
-        eng._split_frontier(restored, materialize_done=True)
+            # Freshly denied rows retire immediately — and, because they are
+            # not yet in the durable term chain, they enter the since-durable
+            # list so the next commit logs them.
+            stamped = eng._stamp_url_cols(restored)
+            restored = stamped.filter(F.col("status") == STATUS_NEW)
+            denied = stamped.filter(F.col("status") != STATUS_NEW)
+        eng._frontier = restored
         eng._live_parquet_rooted = True
-        eng._seen = spark.read.schema(SEEN_SCHEMA).parquet(str(rd / "seen"))
-        eng._results = spark.read.schema(RESULT_SCHEMA).parquet(str(rd / "results"))
+        # terminal history comes from the manifest's term chain.  Chain dirs
+        # are immutable but PRUNABLE when keep_rounds retention is active, so
+        # that configuration copies the restored segments into block-manager
+        # blocks once; without retention the free parquet views are safe
+        # (nothing ever prunes a referenced dir).
+        eng._cum_claimed = sum(manifest["totals"]["term"].values())
+        n = eng._state_partitions()
+
+        def _root(df):
+            if eng.cfg.keep_rounds is None:
+                return df
+            return df.coalesce(n).localCheckpoint(eager=True)
+
+        eng._frontier_done = [_root(eng._read_chain(chain["term"], FRONTIER_SCHEMA))]
+        eng._pending_term = None
+        eng._term_lazy = []
+        eng._term_lazy_rows = 0
+        eng._term_since_durable = []
+        if denied is not None:
+            dseg = denied.coalesce(n).localCheckpoint(eager=True)
+            eng._frontier_done.append(dseg)
+            eng._term_since_durable.append(dseg)
+            # the restored live view now depends on a re-stamp plan over the
+            # round dir's parquet; materialize it too so a later retention
+            # prune cannot dangle it mid-run
+            eng._frontier = eng._reset_stats(
+                eng._frontier.coalesce(n).localCheckpoint(eager=True)
+            )
+            eng._live_parquet_rooted = False
+        eng._seen_segs = [_root(eng._read_chain(chain["seen"], SEEN_SCHEMA))]
+        eng._seen_since_durable = []
+        eng._rebuild_seen_view()
+        eng._results_base = eng._read_chain(chain["results"], RESULT_SCHEMA)
+        eng._results_new = []
+        eng._rebuild_results_view()
+        eng._log = {t: list(p) for t, p in chain.items()}
+        eng._totals = manifest["totals"]
         eng._durable_round = eng.round
         if manifest.get("bloom") and (rd / "bloom.bin").exists():
             from ..operators.bloom import BloomFilter
@@ -1402,16 +1728,19 @@ class CrawlEngine:
         # upper-bound estimate for the flush heuristic: every claimed job
         # plus every chain-hop record can retire this round
         self._pending_term_rows = n_claimed + hops_rows
-        self._seen = self._seen.unionByName(new_seen)
+        # append-only state moves as DELTAS: admissions become an immutable
+        # seen segment in _persist_state; the results delta stays lazy until
+        # the next durable commit (it roots in this round's checkpointed
+        # dispatch output)
+        self._pending_seen = new_seen
         if cfg.seen_bloom and self._bloom is not None:
             from ..operators.bloom import build_bloom
 
             self._bloom.merge(
                 build_bloom(new_seen.select("url"), "url", proto=self._bloom)
             )
-        self._results = self._results.unionByName(
-            results_now.unionByName(email_results)
-        )
+        self._results_new.append(results_now.unionByName(email_results))
+        self._rebuild_results_view()
         # in-memory materialization every round (claim windows + anti-joins
         # read these next round); the durable parquet snapshot is submitted
         # to the background writer and overlaps the next round's compute.
