@@ -141,7 +141,11 @@ def run_level(cpus: int, pages_path: str, workroot: str, seeds_path: str) -> Non
     eng = CrawlEngine(
         spark, pages, wd,
         CrawlConfig(
-            extract_email=True, max_rounds=16, checkpoint_every=100,
+            extract_email=True, max_rounds=16,
+            # default 100 keeps durability off the hot path for the pure
+            # scaling number; GMS_SCALING_CKPT=1 measures per-round durable
+            # delta-log commits at bench scale
+            checkpoint_every=int(os.environ.get("GMS_SCALING_CKPT", "100")),
             # review-RPC chain phase (GMS_SCALING_EXTRA_REVIEWS=1): exercises
             # the payload-bearing reviews continuation jobs at bench scale
             extra_reviews=os.environ.get("GMS_SCALING_EXTRA_REVIEWS") == "1",
