@@ -738,6 +738,7 @@ class CrawlEngine:
             },
             "prev_log": {k: list(v) for k, v in self._log.items()},
             "prev_totals": json.loads(json.dumps(self._totals)),
+            "parent": self._durable_round,
             "full": {
                 "seen": self._seen,
                 "results": self._results,
@@ -868,11 +869,29 @@ class CrawlEngine:
 
         if bloom_bytes is not None:
             (tmp / "bloom.bin").write_bytes(bloom_bytes)
+        # snapshot summary (≙ Iceberg's snapshot parent-id + summary map):
+        # per-table action taken this commit, rows appended by it, and the
+        # chain depth — the per-partition lineage a monitoring/debug read
+        # needs without opening any parquet footer
+        appended = {}
+        for t in ("seen", "results"):
+            appended[t] = obs[t].get["n"] if actions[t] != "none" else 0
+        appended["term"] = (
+            {k: v for k, v in obs["term"].get.items() if v}
+            if actions["term"] != "none" else {}
+        )
         manifest = {
             "round": rnd,
+            "parent_round": cap["parent"],
             "counters": {**wc, "round": rnd},
             "chain": log,
             "totals": totals,
+            "commit_meta": {
+                "actions": actions,
+                "appended": appended,
+                "chain_len": {t: len(log[t]) for t in log},
+                "live_rows": sum(v for v in f_obs.get.values() if v),
+            },
             "bloom": (
                 {"m_bits": self._bloom.m_bits, "k": self._bloom.k}
                 if bloom_bytes is not None else None

@@ -86,9 +86,15 @@ def test_commits_write_only_deltas(spark, pages_and_seeds, tmp_path_factory):
     )
 
     # every mid-run manifest carries exact write-observed counters (the old
-    # protocol wrote null until fixpoint)
-    for rnd, m in manifests.items():
+    # protocol wrote null until fixpoint) and a snapshot summary linking it
+    # to its parent (≙ Iceberg snapshot parent-id + summary)
+    prev = None
+    for rnd, m in sorted(manifests.items()):
         assert m["counters"] is not None and "seen" in m["counters"], rnd
+        cm = m["commit_meta"]
+        assert cm["actions"]["term"] in ("none", "delta", "compact")
+        assert m["parent_round"] == (prev if prev is not None else -1)
+        prev = rnd
 
 
 def test_compaction_bounds_chain_legs(spark, pages_and_seeds, tmp_path_factory):
