@@ -540,7 +540,20 @@ class CrawlEngine:
                 # terminal segment: materialized once, appended, never
                 # touched again (no stats reset needed — segments never
                 # re-enter an iterative join)
-                self._frontier_done.append(fs["term"].result())
+                seg = fs["term"].result()
+                self._frontier_done.append(seg)
+                # the durable log's pending refs to the just-flushed lazy
+                # deltas are REPLACED by the block-backed batch (identical
+                # rows): the commit writer then streams memory blocks instead
+                # of re-evaluating each round's status-flip join — the serial
+                # broadcast rebuilds that made commit writes scale at 1.3x.
+                # Safe: commits are joined at round START and submitted after
+                # this persist, so no in-flight capture holds list marks
+                # (guarded anyway — a captured prefix must keep its length).
+                if self._pending_ckpt is None and self._term_lazy:
+                    k = len(self._term_lazy)
+                    assert self._term_since_durable[-k:] == self._term_lazy
+                    self._term_since_durable[-k:] = [seg]
                 self._term_lazy = []
                 self._term_lazy_rows = 0
         if len(self._seen_segs) > self._SEEN_COMPACT_SEGS:
@@ -835,13 +848,17 @@ class CrawlEngine:
             obs[t] = o
             writes.append((t, df, parts))
 
+        def _one_write(w):
+            name, df, parts = w
+            t0 = time.perf_counter() if self.cfg.timing else 0.0
+            df.coalesce(parts).write.mode("overwrite").parquet(str(tmp / name))
+            if self.cfg.timing:
+                # per-table write wall (concurrent writers: these overlap each
+                # other, so the sum exceeds the snapshot_write phase wall)
+                self.phase_times[f"write_{name}"] += time.perf_counter() - t0
+
         with ThreadPoolExecutor(max_workers=4) as ex:
-            list(ex.map(
-                lambda w: w[1].coalesce(w[2]).write.mode("overwrite").parquet(
-                    str(tmp / w[0])
-                ),
-                writes,
-            ))
+            list(ex.map(_one_write, writes))
 
         totals = cap["prev_totals"]
         log = {t: list(cap["prev_log"][t]) for t in ("seen", "results", "term")}
@@ -1339,16 +1356,27 @@ class CrawlEngine:
         processed = processed.drop("warc_ts")
         n_missing = n_claimed - nd
         if n_missing > 0:
-            # Lazy, not checkpointed (round-3 driver-latency work): the
-            # anti-join is claim-sized vs claim-sized over in-memory blocks
-            # and the dispatch UDF short-circuits on null html, so the few
-            # consumers that re-evaluate it inside the round-end
-            # materializations cost less than a blocking driver action here.
+            # Materialized ONCE (round-4 snapshot-write attribution): this
+            # branch roots processed_all, which every round-end state
+            # materialization re-evaluates (frontier persist, term flush,
+            # results delta write).  Left lazy, each of those re-ran the
+            # claim-sized anti-join — whose driver-built broadcast hash is a
+            # SERIAL cost that repeats identically at every parallelism
+            # level (measured 1.3x scaling on the commit writes at 2.1M
+            # pages).  The miss set itself is small (null-html dispatch
+            # short-circuits), so one eager claim-bounded job here buys
+            # block-backed reads everywhere downstream.
             slim_all = claim_np.unionByName(claim_p)
-            missing = dispatch(
-                slim_all.join(processed.select("job_id"), "job_id", "left_anti")
-                .withColumn("html", F.lit(None).cast("binary"))
-            )
+            with self._timed("miss_recover"):
+                missing = (
+                    dispatch(
+                        slim_all.join(
+                            processed.select("job_id"), "job_id", "left_anti"
+                        ).withColumn("html", F.lit(None).cast("binary"))
+                    )
+                    .coalesce(max(1, min(self._state_partitions(), 32)))
+                    .localCheckpoint(eager=True)
+                )
             processed_all = processed.unionByName(missing.select(processed.columns))
         else:
             processed_all = processed

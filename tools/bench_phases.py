@@ -60,7 +60,12 @@ def run_level(cpus: int, pages_path: str, workroot: str, seeds_path: str) -> Non
         CrawlConfig(
             extract_email=True, max_rounds=16, checkpoint_every=100,
             extra_reviews=os.environ.get("GMS_SCALING_EXTRA_REVIEWS") == "1",
-            broadcast_claim_rows=4_000_000,
+            # A/B knob: 0 forces shuffle joins for the fetch (isolates the
+            # serial driver-side broadcast-build cost inside the dispatch
+            # phase); default broadcasts every claim as the headline does.
+            broadcast_claim_rows=int(
+                os.environ.get("GMS_BROADCAST_CLAIM", str(4_000_000))
+            ),
             timing=True,
         ),
     )
