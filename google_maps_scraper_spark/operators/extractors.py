@@ -57,6 +57,7 @@ __all__ = [
     "dispatch_udf",
     "emails_udf",
     "finalize_email_entry_udf",
+    "harvest_emails_udf",
     "reviews_pages_udf",
     "serp_entries_json_udf",
     "url_host_udf",
@@ -226,7 +227,7 @@ def serp_entries_json_udf(body: pd.Series) -> pd.Series:
 _EMAIL_FINALIZE_COLS = [f.name for f in EMAIL_FINALIZE_SCHEMA.fields]
 
 
-def _finalize_one_email(ej: str | None, h: Any) -> dict:
+def _finalize_one_email(ej: str | None, h: Any, pre: Any = None) -> dict:
     """Email hop (gmaps/emailjob.go:64-98): merge harvested emails into the
     parked entry, re-serialize canonically, and emit the full typed result
     row.  A fetch miss (null html) leaves the entry untouched — the job
@@ -237,6 +238,12 @@ def _finalize_one_email(ej: str | None, h: Any) -> dict:
     if h is not None:
         emails = extract_emails(_to_text(h))
         e["emails"] = emails if emails else None  # Go nil slice when none
+    elif pre is not None:
+        # scan-side harvest (harvest_emails_udf): the same extract_emails
+        # already ran where the html lived; ``pre`` is its result, with None
+        # still meaning "no fetched page" (entry left untouched, as above)
+        emails = list(pre)
+        e["emails"] = emails if emails else None
     return {
         "input_id": e["input_id"],
         "link": e["link"],
@@ -265,6 +272,21 @@ def _finalize_one_email(ej: str | None, h: Any) -> dict:
 def finalize_email_entry_udf(entry_json: pd.Series, html: pd.Series) -> pd.DataFrame:
     rows = [_finalize_one_email(ej, h) for ej, h in zip(entry_json, html)]
     return pd.DataFrame(rows, columns=_EMAIL_FINALIZE_COLS)
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def harvest_emails_udf(html: pd.Series) -> pd.Series:
+    """Scan-stage email harvest for the payload hop (the ExtractEmails step
+    of gmaps/emailjob.go:89-98, moved to where the html lives): the multi-KB
+    page body dies inside the pages scan and only the tiny email list
+    travels back to the payload-side finalize — at frontier scale this
+    removes the per-round GB-class shuffle of html against parked entries.
+    None (no fetched page) stays None so the finalize keeps the fetch-miss
+    semantics; a fetched page with no emails yields an empty list."""
+    return pd.Series(
+        [None if h is None else extract_emails(_to_text(h)) for h in html],
+        dtype="object",
+    )
 
 
 _DISPATCH_COLS = [f.name for f in DISPATCH_SCHEMA.fields]
@@ -330,6 +352,7 @@ def dispatch_udf(
     url: pd.Series,
     now_micros: pd.Series,
     extra_reviews: pd.Series,
+    emails_pre: pd.Series,
 ) -> pd.DataFrame:
     """Single-pass per-round processor: one Python stage handles every
     claimed job by kind (≙ scrapemate dispatching each IJob's Process).
@@ -345,8 +368,8 @@ def dispatch_udf(
     fetch-error message, email still emits — job.go:114-116,
     place.go:68-70, emailjob.go:100-102)."""
     rows = []
-    for k, h, pl, s, u, n, xr in zip(
-        kind, html, payload, seed_id, url, now_micros, extra_reviews
+    for k, h, pl, s, u, n, xr, ep in zip(
+        kind, html, payload, seed_id, url, now_micros, extra_reviews, emails_pre
     ):
         out = dict.fromkeys(_DISPATCH_COLS)
         if k == "search":
@@ -376,7 +399,7 @@ def dispatch_udf(
             out.update(_reviews_step(pl, h, int(n)))
             out["new_status"] = "done"
         else:  # email
-            out["email"] = _finalize_one_email(pl, h)
+            out["email"] = _finalize_one_email(pl, h, ep)
             out["new_status"] = "done"
         rows.append(out)
     return pd.DataFrame(rows, columns=_DISPATCH_COLS)

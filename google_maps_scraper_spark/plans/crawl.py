@@ -64,7 +64,7 @@ import uuid
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.extractors import dispatch_udf, etld1_col
+from ..operators.extractors import dispatch_udf, etld1_col, harvest_emails_udf
 from ..schemas import (
     ENTRY_STRUCT,
     FRONTIER_SCHEMA,
@@ -1220,6 +1220,12 @@ class CrawlEngine:
             obs,
             F.count(F.lit(1)).alias("n"),
             F.count("payload").alias("n_payload"),
+            # payload claims split by kind: email jobs take the scan-side
+            # harvest path (html never leaves the scan), reviews
+            # continuations need the RPC page body joined back
+            F.count(
+                F.when(F.col("kind") == KIND_EMAIL, F.col("payload"))
+            ).alias("n_payload_email"),
             # multiset fingerprint of the claimed job ids: compared against
             # the same pair observed on the dispatch output to detect
             # duplicate captures / fetch misses without a second driver
@@ -1235,6 +1241,7 @@ class CrawlEngine:
             )
             _c = obs.get
         n_claimed, n_payload, claim_h = _c["n"], _c["n_payload"], _c["h"]
+        n_payload_email = _c["n_payload_email"]
         if n_claimed == 0:
             # Empty claim ≠ fixpoint when budget-remainder rotation is live:
             # with host_budget < politeness_salts a round's rotation can meet
@@ -1285,9 +1292,25 @@ class CrawlEngine:
             return F.broadcast(df) if small else df
 
         def dispatch(df):
+            # branches differ in what they fetched: html for search/place/
+            # reviews pages, a scan-side email harvest for the payload hop
+            # (the html never leaves the pages scan there)
+            ep = (
+                F.col("emails_pre")
+                if "emails_pre" in df.columns
+                else F.lit(None).cast("array<string>")
+            )
+            html_c = (
+                F.col("html")
+                if "html" in df.columns
+                else F.lit(None).cast("binary")
+            )
             return df.withColumn(
-                "p", dispatch_udf("kind", "html", "payload", "seed_id", "url", now, xr)
-            ).drop("html")
+                "p",
+                dispatch_udf(
+                    "kind", html_c, "payload", "seed_id", "url", now, xr, ep
+                ),
+            ).drop("html", "emails_pre")
 
         claim_np = claimed.filter(F.col("payload").isNull()).select(
             *slim_cols, F.lit(None).cast("string").alias("payload")
@@ -1301,11 +1324,34 @@ class CrawlEngine:
         parts = []
         if n_claimed - n_payload > 0:
             parts.append(dispatch(pages.join(bcast(claim_np), "url", "inner")))
-        if n_payload > 0:
+        if n_payload_email > 0:
+            # email hop: harvest the emails INSIDE the pages scan (the only
+            # thing the finalize needs from the page) and join the tiny
+            # (job_id, emails) result back to the payload claim — the page
+            # body dies in the scan and the multi-KB parked entries never
+            # shuffle.  The round-4 phase attribution showed the previous
+            # shape (shuffle-joining html against payloads) as a GB-class
+            # per-round exchange at headline scale.
+            claim_e = claim_p.filter(F.col("kind") == KIND_EMAIL)
+            got_e = pages.join(
+                bcast(claim_e.select("job_id", "url")), "url", "inner"
+            ).select(
+                "job_id",
+                harvest_emails_udf("html").alias("emails_pre"),
+                "warc_ts",
+            )
+            if n_payload_email <= cfg.broadcast_claim_rows:
+                got_e = F.broadcast(got_e)
+            parts.append(dispatch(claim_e.join(got_e, "job_id", "inner")))
+        if n_payload - n_payload_email > 0:
+            # reviews continuations claimed from the frontier (hop-cap
+            # leftovers / resumed chains): the RPC page body must reach the
+            # accumulator, so this branch keeps the claim-sized html join
+            claim_r = claim_p.filter(F.col("kind") != KIND_EMAIL)
             got = pages.join(
-                bcast(claim_p.select("job_id", "url")), "url", "inner"
+                bcast(claim_r.select("job_id", "url")), "url", "inner"
             ).select("job_id", "html", "warc_ts")
-            parts.append(dispatch(claim_p.join(got, "job_id", "inner")))
+            parts.append(dispatch(claim_r.join(got, "job_id", "inner")))
         processed = parts[0]
         for extra in parts[1:]:
             processed = processed.unionByName(extra.select(processed.columns))

@@ -46,6 +46,42 @@ def plan_log(spark, tmp_path_factory):
     return eng.plan_log
 
 
+@pytest.fixture(scope="module")
+def email_plan_log(spark, tmp_path_factory):
+    """Same crawl with the email hop on — covers the payload-claim round's
+    plan shape (the harvest path: html must die inside the pages scan)."""
+    corpus = generate_corpus(n_seeds=2, places_per_serp=4, seed=3)
+    pages = corpus_to_spark(spark, corpus).localCheckpoint(eager=True)
+    seeds = [(s["query"].split("#!#")[0].strip(), s["custom_id"]) for s in corpus.seeds]
+    eng = CrawlEngine(
+        spark, pages, str(tmp_path_factory.mktemp("plan-guard-email")),
+        CrawlConfig(extract_email=True, now_micros=NOW, capture_plans=True),
+    )
+    eng.seed_from_queries(seeds)
+    eng.run()
+    assert any(
+        "fetch_dispatch" in n and "round003" in n for n in eng.plan_log
+    ), "email round plan not captured"
+    return eng.plan_log
+
+
+def test_email_round_never_shuffles_html_or_payload(email_plan_log):
+    """The email hop harvests emails inside the pages scan and broadcasts
+    the tiny (job_id, emails) result onto the payload claim: neither the
+    page bodies nor the multi-KB parked entries may cross an Exchange
+    (previously the fetched html shuffle-joined the payloads — a GB-class
+    per-round exchange at headline scale)."""
+    for name, plan in email_plan_log.items():
+        if "fetch_dispatch" not in name:
+            continue
+        for cols in _exchange_inputs(plan):
+            assert not re.search(r"\b(html|payload)#", cols), (
+                f"html/payload crosses an Exchange in {name}: [{cols}]"
+            )
+        for bad in FORBIDDEN:
+            assert bad not in plan, f"{bad} in {name}"
+
+
 def test_no_forbidden_joins_in_crawl_round(plan_log):
     for name, plan in plan_log.items():
         for bad in FORBIDDEN:
