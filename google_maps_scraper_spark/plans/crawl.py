@@ -206,6 +206,7 @@ class CrawlEngine:
         self.cfg = config or CrawlConfig()
         self.round = 0
         self._cum_claimed = 0
+        self._cum_admitted = 0   # SERP fan-out candidates (observed n_links)
         self._durable_round = -1   # last round with a committed durable snapshot
         self._writer_id = uuid.uuid4().hex  # fencing token (split-brain guard)
         self._ckpt_pool = None     # lazy single-thread executor: serializes
@@ -514,7 +515,9 @@ class CrawlEngine:
             for seg in self._term_lazy[1:]:
                 batch = batch.unionByName(seg)
             tables.append(("term", (batch, n)))
-        with self._timed("persist"), ThreadPoolExecutor(max_workers=3) as ex:
+        with self._timed("persist"), self._timed(
+            f"persist/round{self.round:02d}"
+        ), ThreadPoolExecutor(max_workers=3) as ex:
             fs = {
                 name: ex.submit(
                     lambda df, k: df.coalesce(k).localCheckpoint(eager=True), df, k
@@ -645,12 +648,21 @@ class CrawlEngine:
             self.phase_times[name] += time.perf_counter() - t0
 
     def _state_partitions(self) -> int:
-        """Data-aware partition count for the state tables: ~16 k rows per
-        partition (cumulative claims approximate state size), floor 8 so
-        claim windows / anti-joins keep minimum parallelism, capped at 4096.
-        Sizing by data instead of cores keeps tiny states from scheduling
-        cores×tables no-op tasks every round."""
-        return int(min(4096, max(8, self._cum_claimed // 8192)))
+        """Data-aware partition count for the state tables: ~8 k rows per
+        partition, floor 8 so claim windows / anti-joins keep minimum
+        parallelism, capped at 4096.  Sized by cumulative claims PLUS
+        cumulative admissions: a search round's fan-out admits ~10^2× its
+        claim count, and sizing by claims alone coalesced the round's
+        heaviest state pipeline (admission window + anti-join + stamp over
+        every admitted child) to the 8-partition floor — which pins the
+        stage to 8 tasks regardless of cluster size (the round-4 phase
+        bench measured the persist phase ANTI-scaling 0.85× at 4→16 on the
+        2.1M-page corpus because of exactly this).  Sizing by data instead
+        of cores still keeps tiny states from scheduling cores×tables
+        no-op tasks every round."""
+        return int(
+            min(4096, max(8, (self._cum_claimed + self._cum_admitted) // 8192))
+        )
 
     # -- durable checkpoint protocol ------------------------------------------
     #
@@ -1112,6 +1124,8 @@ class CrawlEngine:
         # blocks once; without retention the free parquet views are safe
         # (nothing ever prunes a referenced dir).
         eng._cum_claimed = sum(manifest["totals"]["term"].values())
+        # admissions ≈ the seen-set total (every admitted URL is recorded)
+        eng._cum_admitted = int(manifest["totals"].get("seen", 0))
         n = eng._state_partitions()
 
         def _root(df):
@@ -1289,7 +1303,17 @@ class CrawlEngine:
         small = n_claimed <= cfg.broadcast_claim_rows
 
         def bcast(df):
-            return F.broadcast(df) if small else df
+            # small claims broadcast (pages side untouched, zero shuffle);
+            # large claims hint a SHUFFLED-HASH build on the claim side:
+            # with a url-bucketed pages table (the Iceberg bucket(url)
+            # analog — sources/corpus.py:write_bucketed_pages) the scan
+            # already satisfies the join's distribution, so ONLY the slim
+            # claim keys shuffle and html stays inside the scan stage, while
+            # the driver never serially builds a 10^6-row broadcast hash
+            # (a fixed cost identical at every cluster size).  SHJ over SMJ
+            # also skips sorting multi-KB page rows when pages must shuffle
+            # (plain-parquet fallback).
+            return F.broadcast(df) if small else df.hint("shuffle_hash")
 
         def dispatch(df):
             # branches differ in what they fetched: html for search/place/
@@ -1370,11 +1394,24 @@ class CrawlEngine:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.xxhash64("job_id").cast("decimal(38,0)")).alias("h"),
             F.count(F.col("p.reviews_next.url")).alias("n_next"),
+            # admitted-candidate volume (SERP feed links): the seen-probe
+            # strategy below keys off THIS, not the claim size — a tiny
+            # search claim can fan out to 10^2× candidates, and broadcasting
+            # those is a driver-serial build the claim count cannot predict
+            F.sum(
+                F.when(
+                    F.col("p.links").isNotNull(), F.size("p.links")
+                ).otherwise(F.lit(0))
+            ).alias("n_links"),
         )
         self._capture_plan("fetch_dispatch", processed)
-        with self._timed("dispatch"):
+        with self._timed("dispatch"), self._timed(
+            f"dispatch/round{self.round:02d}"
+        ):
             processed = processed.localCheckpoint(eager=True)
             _pm = pobs.get
+        n_links = int(_pm["n_links"] or 0)
+        self._cum_admitted += n_links
         if _pm["n"] == n_claimed and (_pm["h"] or 0) == (claim_h or 0):
             nd, n_next = n_claimed, _pm["n_next"]
         else:
@@ -1589,16 +1626,21 @@ class CrawlEngine:
             definite_new, maybes = None, dd_first
 
         seen_keys = self._seen.select(F.col("url").alias("child_url"))
-        if n_claimed <= cfg.broadcast_claim_rows:
+        if n_links <= cfg.broadcast_claim_rows:
             # scan-probe: the seen table is SCANNED with a broadcast semi-probe
             # of the (budget-bounded) candidates and never shuffled — at
             # 10^10-row seen scale the anti-join's shuffle of seen is the
-            # bottleneck this kills.
+            # bottleneck this kills.  Gated on the OBSERVED candidate count
+            # (n_links), not the claim size: a search round's fan-out is
+            # ~10^2× its claim, and a 10^6-URL broadcast is a serial driver
+            # build that repeats identically at every cluster size.
             hits = seen_keys.join(
                 F.broadcast(maybes.select("child_url")), "child_url", "left_semi"
             )
             confirmed_new = maybes.join(F.broadcast(hits), "child_url", "left_anti")
         else:
+            # wide fan-out: shuffle anti-join on url — both sides partition
+            # by the join key, so the work scales with the cluster
             confirmed_new = maybes.join(seen_keys, "child_url", "left_anti")
         self._capture_plan("seen_antijoin", confirmed_new)
         admitted_new = (

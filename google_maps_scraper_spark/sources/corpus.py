@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import datetime as dt
 import hashlib
+import json
+import os
 import random
 from dataclasses import dataclass, field
 from typing import Any
@@ -808,3 +810,71 @@ def corpus_to_parquet(spark, corpus: SyntheticCorpus, path: str, partitions: int
         "overwrite"
     ).parquet(path)
     return spark.read.parquet(path)
+
+
+# --- url-bucketed pages table (Iceberg ``bucket(url)`` partition analog) ----
+#
+# The crawl's fetch stand-in is ``pages ⋈ claim ON url``.  With a plain
+# parquet directory the big-claim rounds must either BROADCAST the claim
+# (the driver builds a 10^5..10^6-row hash relation serially — a fixed cost
+# that repeats identically at every cluster size and caps scaling) or
+# shuffle-join (the multi-KB html column rides the exchange).  Writing the
+# pages table bucketed by url removes both: the scan itself satisfies the
+# join's required distribution (HashPartitioning(url, buckets)), so ONLY the
+# slim claim keys shuffle — work that scales with the cluster — and html is
+# born and dies inside the scan stage.  On a real deployment this is the
+# Iceberg table's ``bucket(N, url)`` partition transform + storage-partitioned
+# join; Spark's builtin bucketed-table support is the local-catalog analog.
+
+_PAGES_DDL_COLS = "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING"
+
+
+def write_bucketed_pages(spark, pages, path: str, buckets: int = 128,
+                         table: str = "gms_pages_bucketed"):
+    """Write ``pages`` as a url-bucketed external parquet table at ``path``
+    and return the registered table's DataFrame.  Bucket files carry
+    Spark's bucket-id naming, so any later session can re-register the same
+    location with :func:`read_bucketed_pages`."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        # repartition on the SAME hash the bucketed writer uses (Murmur3
+        # pmod buckets): each write task then holds exactly one bucket's
+        # rows, so the layout is one file per bucket instead of
+        # tasks × buckets small files
+        pages.repartition(buckets, "url")
+        .write.mode("overwrite")
+        .bucketBy(buckets, "url")
+        .option("path", path)
+        .saveAsTable(table)
+    )
+    # sidecar so a later session can re-register without knowing the bucket
+    # count (underscore prefix: Spark's file index treats it as metadata)
+    with open(os.path.join(path, "_gms_buckets.json"), "w") as fh:
+        json.dump({"buckets": buckets}, fh)
+    return spark.table(table)
+
+
+def bucketed_pages_spec(path: str) -> int | None:
+    """Bucket count if ``path`` was written by :func:`write_bucketed_pages`,
+    else None (plain parquet directory)."""
+    try:
+        with open(os.path.join(path, "_gms_buckets.json")) as fh:
+            return int(json.load(fh)["buckets"])
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def read_bucketed_pages(spark, path: str, buckets: int = 128,
+                        table: str = "gms_pages_bucketed"):
+    """Register the bucketed pages files written by
+    :func:`write_bucketed_pages` in THIS session's catalog (catalogs are
+    in-memory and per-session) and return the table's DataFrame — its scan
+    reports HashPartitioning(url, buckets), which is what lets the fetch
+    join skip the pages-side exchange."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} ({_PAGES_DDL_COLS}) USING parquet "
+        f"CLUSTERED BY (url) INTO {buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+    return spark.table(table)

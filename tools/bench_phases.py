@@ -39,6 +39,20 @@ def _workroot() -> str:
     return root
 
 
+def _read_pages(spark, pages_path):
+    """Bucketed-table read when the corpus was written url-bucketed (see
+    sources/corpus.py:write_bucketed_pages), plain parquet otherwise."""
+    from google_maps_scraper_spark.sources.corpus import (
+        bucketed_pages_spec,
+        read_bucketed_pages,
+    )
+
+    b = bucketed_pages_spec(pages_path)
+    if b:
+        return read_bucketed_pages(spark, pages_path, buckets=b)
+    return spark.read.parquet(pages_path)
+
+
 def run_level(cpus: int, pages_path: str, workroot: str, seeds_path: str) -> None:
     from google_maps_scraper_spark.plans.crawl import CrawlConfig, CrawlEngine
     from google_maps_scraper_spark.session import get_spark
@@ -51,7 +65,7 @@ def run_level(cpus: int, pages_path: str, workroot: str, seeds_path: str) -> Non
         extra_conf={"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    pages = spark.read.parquet(pages_path)
+    pages = _read_pages(spark, pages_path)
     pages.count()  # warm scan + JVM before the clock
     wd = os.path.join(workroot, f"wd-{cpus}")
     t0 = time.perf_counter()
@@ -64,7 +78,7 @@ def run_level(cpus: int, pages_path: str, workroot: str, seeds_path: str) -> Non
             # serial driver-side broadcast-build cost inside the dispatch
             # phase); default broadcasts every claim as the headline does.
             broadcast_claim_rows=int(
-                os.environ.get("GMS_BROADCAST_CLAIM", str(4_000_000))
+                os.environ.get("GMS_BROADCAST_CLAIM", str(100_000))
             ),
             timing=True,
         ),
@@ -116,7 +130,12 @@ def main() -> None:
                 3 if os.environ.get("GMS_SCALING_EXTRA_REVIEWS") == "1" else 0
             ),
         )
-        pages.write.mode("overwrite").parquet(pages_path)
+        from google_maps_scraper_spark.sources.corpus import write_bucketed_pages
+
+        write_bucketed_pages(
+            spark, pages, pages_path,
+            buckets=int(os.environ.get("GMS_PAGES_BUCKETS", "128")),
+        )
         spark.stop()
         json.dump(seeds, open(seeds_path, "w"))
 

@@ -71,6 +71,22 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _read_pages(spark, pages_path: str):
+    """Bucketed-table read when the corpus was written url-bucketed (the
+    Iceberg bucket(url) partition-transform analog; the fetch join then
+    shuffles ONLY the slim claim keys), plain parquet otherwise — old
+    corpora reused via GMS_SCALING_CORPUS keep working."""
+    from google_maps_scraper_spark.sources.corpus import (
+        bucketed_pages_spec,
+        read_bucketed_pages,
+    )
+
+    b = bucketed_pages_spec(pages_path)
+    if b:
+        return read_bucketed_pages(spark, pages_path, buckets=b)
+    return spark.read.parquet(pages_path)
+
+
 def _cpu_probe(pages) -> dict:
     """Engine-independent pure-CPU ceiling probe: one extraction pass over
     every place page in the corpus (scan → dispatch UDF → compact count),
@@ -131,7 +147,7 @@ def run_level(cpus: int, pages_path: str, workroot: str, seeds_path: str) -> Non
         extra_conf={"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    pages = spark.read.parquet(pages_path)
+    pages = _read_pages(spark, pages_path)
     pages.count()  # warm the scan before the clock starts
 
     probe_pre = _cpu_probe(pages)   # paired ceiling, measured pre-crawl
@@ -149,9 +165,14 @@ def run_level(cpus: int, pages_path: str, workroot: str, seeds_path: str) -> Non
             # review-RPC chain phase (GMS_SCALING_EXTRA_REVIEWS=1): exercises
             # the payload-bearing reviews continuation jobs at bench scale
             extra_reviews=os.environ.get("GMS_SCALING_EXTRA_REVIEWS") == "1",
-            # claims stay broadcast-side up to 4M rows: even a ~600 MB slim
-            # broadcast beats shuffling the (html-bearing) pages table
-            broadcast_claim_rows=4_000_000,
+            # with the url-bucketed pages table the big-claim rounds take the
+            # storage-partitioned shuffled-hash join (only slim claim keys
+            # shuffle; no serial driver broadcast build), so the broadcast
+            # path is reserved for genuinely small claims.  GMS_BROADCAST_CLAIM
+            # remains the A/B knob (4000000 restores the round-3 shape).
+            broadcast_claim_rows=int(
+                os.environ.get("GMS_BROADCAST_CLAIM", "100000")
+            ),
         ),
     )
     eng.seed_from_queries(seeds)
@@ -221,7 +242,12 @@ def main() -> None:
                 3 if os.environ.get("GMS_SCALING_EXTRA_REVIEWS") == "1" else 0
             ),
         )
-        pages.write.mode("overwrite").parquet(pages_path)
+        from google_maps_scraper_spark.sources.corpus import write_bucketed_pages
+
+        write_bucketed_pages(
+            spark, pages, pages_path,
+            buckets=int(os.environ.get("GMS_PAGES_BUCKETS", "128")),
+        )
         n_pages = spark.read.parquet(pages_path).count()
         spark.stop()
         seeds_path = os.path.join(workroot, "seeds.json")

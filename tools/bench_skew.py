@@ -45,6 +45,20 @@ SALTS = int(os.environ.get("GMS_SKEW_SALTS", "8"))
 SKEWS = (0.15, 0.9)
 
 
+def _read_pages(spark, pages_path):
+    """Bucketed-table read when the corpus was written url-bucketed (see
+    sources/corpus.py:write_bucketed_pages), plain parquet otherwise."""
+    from google_maps_scraper_spark.sources.corpus import (
+        bucketed_pages_spec,
+        read_bucketed_pages,
+    )
+
+    b = bucketed_pages_spec(pages_path)
+    if b:
+        return read_bucketed_pages(spark, pages_path, buckets=b)
+    return spark.read.parquet(pages_path)
+
+
 def run_case(pages_path: str, workroot: str, seeds_path: str, tag: str) -> None:
     from pyspark.sql import functions as F  # noqa: F401  (parity with scaling tool)
 
@@ -68,7 +82,9 @@ def run_case(pages_path: str, workroot: str, seeds_path: str, tag: str) -> None:
         spark, pages, wd,
         CrawlConfig(
             extract_email=True, max_rounds=16, checkpoint_every=100,
-            broadcast_claim_rows=4_000_000,
+            broadcast_claim_rows=int(
+                os.environ.get("GMS_BROADCAST_CLAIM", "100000")
+            ),
             # budget high enough to claim every eligible job each round: the
             # per-(host,salt) windows run for real, but both corpora take the
             # same number of rounds — elapsed is apples-to-apples
