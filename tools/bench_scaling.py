@@ -115,6 +115,7 @@ def _cpu_probe(pages) -> dict:
                 F.lit("place"), "html", F.lit(None).cast("string"),
                 F.lit("seed"), "url",
                 F.lit(1786838400000000).cast("long"), F.lit(False),
+                F.lit(None).cast("array<string>"),
             ),
         )
         .select(F.col("p.entry.valid").alias("v"))
