@@ -1095,3 +1095,640 @@ def multimodal_wav_meta(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+# =============================================================================
+# Training-data pipeline, round-4 second wave: range join, corpus line dedup,
+# benchmark-contamination check, PII scrubbing, length quantiles
+# =============================================================================
+
+_RANGE_W_US = 21_600_000_000  # 6 h window, microseconds
+
+
+@_q(
+    "events_range_join_6h",
+    f"""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    s AS (SELECT user_id, ts FROM events
+          WHERE event_type IN ('click', 'view'))
+    SELECT p.event_id AS event_id, p.user_id AS user_id,
+           COUNT(s.ts) AS n_src
+    FROM p LEFT JOIN s ON p.user_id = s.user_id
+         AND date_diff('microsecond', s.ts, p.ts)
+             BETWEEN 1 AND {_RANGE_W_US}
+    GROUP BY p.event_id, p.user_id
+    ORDER BY event_id
+    """,
+)
+def events_range_join_6h(spark, sf):
+    """Range join: for each ``purchase``, count the same user's
+    ``click``/``view`` events in the strictly-preceding 6-hour window.
+
+    A naive ``ON u = u AND s.ts BETWEEN p.ts - 6h AND p.ts`` inequality join
+    plans as BroadcastNestedLoopJoin in Spark — O(|P|·|S|) compares, the
+    classic 100-TB killer (OSS Spark has no range-join optimization; the
+    plan-guard test pins BNLJ absence).  The scalable decomposition buckets
+    both sides by ⌊ts / W⌋: a source inside the window lies in the
+    purchase's bucket or the one before, so exploding each purchase to its
+    2 candidate buckets turns the range join into an EQUI-join on
+    (user_id, bucket) — one shuffle per side, candidate set ≤ 2·|S ∩ user|,
+    then the exact window predicate filters residents.  Bucket width = the
+    window keeps the candidate factor at exactly 2 regardless of data
+    density; skewed users salt like politeness buckets (plans/crawl.py)."""
+    ev = load(spark, sf, "events")
+    w = F.lit(_RANGE_W_US).cast("long")
+    # the parquet ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP (session
+    # tz is pinned to UTC, so the cast is value-preserving)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us("ts").alias("pts")
+    )
+    s = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        us("ts").alias("sts"),
+    ).withColumn("bkt", F.expr(f"sts div {_RANGE_W_US}"))
+    cand = (
+        p.withColumn("pb", F.expr(f"pts div {_RANGE_W_US}"))
+        .withColumn("bkt", F.explode(F.array(F.col("pb"), F.col("pb") - 1)))
+        .join(s, ["user_id", "bkt"], "inner")
+        .filter(
+            (F.col("pts") - F.col("sts") >= 1)
+            & (F.col("pts") - F.col("sts") <= w)
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        p.join(cand, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_src"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --- corpus-level duplicated-line removal (CCNet / RefinedWeb stage) --------
+
+_LINE_TOKS = 10   # fixed line width, tokens (synthetic docs carry no \n)
+_LINE_MIN_DOCS = 3  # a line present in >= this many docs is boilerplate
+
+
+def doc_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, ln, line_text): the document split into fixed 10-token
+    lines.  Built entirely map-side (split → sequence → slice → array_join
+    inside one projection) — no token-level explode, no shuffle; the only
+    corpus-wide shuffle in the consumers below is the groupBy on the line
+    key itself."""
+    return df.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split({text_col}, ' ')) /"
+                f" {_LINE_TOKS}.0) as int) - 1),"
+                f" i -> array_join(slice(split({text_col}, ' '),"
+                f" i * {_LINE_TOKS} + 1, {_LINE_TOKS}), ' '))"
+            )
+        ).alias("ln", "line_text"),
+    )
+
+
+_LINE_CTE = f"""
+    tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    idx AS (SELECT doc_id, ts,
+                   unnest(range(CAST(ceil(len(ts) / {_LINE_TOKS}.0) AS BIGINT)))
+                     AS ln
+            FROM tok),
+    lines AS (SELECT doc_id, ln,
+                     array_to_string(
+                       ts[ln * {_LINE_TOKS} + 1 : ln * {_LINE_TOKS} + {_LINE_TOKS}],
+                       ' ') AS line_text
+              FROM idx)
+"""
+
+
+@_q(
+    "docs_line_dedup",
+    f"""
+    WITH {_LINE_CTE},
+    dup AS (SELECT line_text FROM lines
+            GROUP BY line_text HAVING COUNT(DISTINCT doc_id) >= {_LINE_MIN_DOCS})
+    SELECT l.doc_id AS doc_id,
+           COALESCE(string_agg(CASE WHEN d.line_text IS NULL THEN l.line_text END,
+                               ' ' ORDER BY l.ln), '') AS clean_text,
+           COUNT(CASE WHEN d.line_text IS NULL THEN 1 END) AS n_kept,
+           COUNT(d.line_text) AS n_dropped
+    FROM lines l LEFT JOIN dup d USING (line_text)
+    GROUP BY l.doc_id
+    ORDER BY doc_id
+    """,
+)
+def docs_line_dedup(spark, sf):
+    """Corpus-level duplicated-line removal (the CCNet / RefinedWeb
+    boilerplate stage): a line occurring in >= 3 distinct documents is
+    dropped from every document; survivors reassemble in order.
+
+    Scale shape: line construction is map-side (doc_lines), the boilerplate
+    census is ONE groupBy on the line text (partial aggregation after a
+    per-doc distinct), and reassembly is ONE groupBy on doc_id.  The dup-line
+    set is the small side by construction (boilerplate is the head of the
+    line-frequency distribution) — Spark/AQE broadcasts it into the
+    line-level join, so document text shuffles exactly once, keyed by
+    doc_id, at 100 TB.  Order is restored from the carried line index, not
+    partition luck (collect_list order is nondeterministic; sort_array on
+    the (ln, line) struct is not)."""
+    d = load(spark, sf, "documents")
+    lines = doc_lines(d)
+    dup = (
+        lines.select("line_text", "doc_id")
+        .distinct()
+        .groupBy("line_text")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= _LINE_MIN_DOCS)
+        .select("line_text", F.lit(True).alias("is_dup"))
+    )
+    kept = F.col("is_dup").isNull()
+    return (
+        lines.join(dup, "line_text", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(kept, F.struct("ln", "line_text"))
+                        )
+                    ),
+                    lambda x: x["line_text"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.when(kept, F.lit(1))).alias("n_kept"),
+            F.count("is_dup").alias("n_dropped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- benchmark-contamination check (decontamination stage) ------------------
+
+_BENCH_MOD = 97   # benchmark set: doc_id % 97 == 0 (deterministic, no RNG)
+_BENCH_GRAM = 3   # token n-gram length (calibrated to the synthetic corpus's
+                  # repetition length; real pipelines use 8-13)
+
+
+@_q(
+    "docs_contamination_check",
+    f"""
+    WITH bench AS (
+      SELECT doc_id AS bench_id,
+             array_to_string(string_split(text, ' ')[1:{_BENCH_GRAM}], ' ')
+               AS gram
+      FROM documents
+      WHERE doc_id % {_BENCH_MOD} = 0
+        AND len(string_split(text, ' ')) >= {_BENCH_GRAM}
+    )
+    SELECT d.doc_id AS doc_id, COUNT(DISTINCT b.bench_id) AS n_bench_hits
+    FROM documents d JOIN bench b
+      ON contains(' ' || d.text || ' ', ' ' || b.gram || ' ')
+    GROUP BY d.doc_id
+    ORDER BY doc_id
+    """,
+)
+def docs_contamination_check(spark, sf):
+    """Benchmark decontamination: flag corpus documents containing any
+    benchmark document's leading token n-gram (the held-out-eval leakage
+    check every training-data pipeline runs; n-gram membership per
+    GPT-3/PaLM-style 8-13-gram decontamination, here 3 to match the
+    synthetic corpus's repetition length).
+
+    The oracle scans with substring-contains (token-aligned via the
+    space padding) — an O(|corpus|·|bench|) cross join that is fine for
+    DuckDB at sf0.01 and catastrophic at 100 TB.  The Spark side is the
+    scalable shape instead: every document explodes to its distinct
+    token-aligned n-grams map-side, the (tiny) benchmark gram set
+    broadcasts, and the match is an EQUI-join on the gram string — corpus
+    text is touched once, nothing but (doc_id, gram) ever shuffles, and
+    the gram explosion prunes through the distinct before the join."""
+    d = load(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    bench = (
+        d.filter(
+            (F.col("doc_id") % _BENCH_MOD == 0) & (F.size(toks) >= _BENCH_GRAM)
+        )
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.array_join(F.slice(toks, 1, _BENCH_GRAM), " ").alias("gram"),
+        )
+    )
+    grams = (
+        d.filter(F.size(toks) >= _BENCH_GRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(split(text, ' ')) - {_BENCH_GRAM}),"
+                    f" i -> array_join(slice(split(text, ' '), i + 1, {_BENCH_GRAM}), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    return (
+        grams.join(F.broadcast(bench), "gram", "inner")
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("bench_id")).alias("n_bench_hits"))
+        .orderBy("doc_id")
+    )
+
+
+# --- PII scrubbing (privacy stage) ------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9][0-9-]{7,}[0-9]"
+
+
+@_q(
+    "docs_pii_scrub",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@mail.example.com or call'
+                  || ' +1-555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                  || ' now' AS t
+      FROM documents)
+    SELECT doc_id,
+      regexp_replace(
+        regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+        '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed,
+      len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+      len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phones
+    FROM aug
+    ORDER BY doc_id
+    """,
+)
+def docs_pii_scrub(spark, sf):
+    """PII scrubbing: redact email addresses and phone numbers, reporting
+    per-document match counts.  The synthetic corpus carries no PII, so the
+    query injects a deterministic contact line per doc_id first (both
+    engines run the identical concat) — the scrub itself is then real:
+    email before phone (the email's local part contains digit runs a
+    phone-first pass would mangle), global replacement, JVM-side
+    ``regexp_replace``/``regexp_extract_all`` throughout (no Python in the
+    hot path; the patterns avoid constructs where Java and RE2 semantics
+    diverge — no backrefs, no lookaround)."""
+    d = load(spark, sf, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call +1-555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" now"),
+    )
+    return (
+        d.select("doc_id", t.alias("t"))
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace("t", _PII_EMAIL, "<EMAIL>"),
+                _PII_PHONE,
+                "<PHONE>",
+            ).alias("scrubbed"),
+            F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), F.lit(0)))
+            .cast("long")
+            .alias("n_emails"),
+            F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), F.lit(0)))
+            .cast("long")
+            .alias("n_phones"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- exact length quantiles (length-filter thresholding) ---------------------
+
+# nearest-rank quantiles as (name, numerator, denominator): rank ⌈p·n⌉ is
+# computed in INTEGER arithmetic — (num·n + den − 1) div den — because the
+# float formulation diverges across engines (DuckDB parses 0.9 as an exact
+# DECIMAL, so 0.9·70 = 63.0 → ceil 63; IEEE doubles give 63.000…007 → 64)
+_QUANTILES = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+
+@_q(
+    "docs_length_quantiles",
+    f"""
+    WITH t AS (
+      SELECT lang, len(string_split(text, ' ')) AS n_tok,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY len(string_split(text, ' ')), doc_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents)
+    SELECT lang,
+      {", ".join(
+        f"MAX(CASE WHEN rn = ({num} * n + {den - 1}) // {den} THEN n_tok END)"
+        f" AS {name}" for name, num, den in _QUANTILES)},
+      MAX(n) AS n_docs
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def docs_length_quantiles(spark, sf):
+    """Exact per-language token-count quantiles (the thresholds a length
+    filter is calibrated from).  Nearest-rank definition (value at rank
+    ⌈p·n⌉, ties broken by doc_id) rather than interpolated: the result is
+    an integer actually present in the data, and — unlike linear
+    interpolation, where two engines' float lerp orders can differ in the
+    last ulp — bit-exact across engines by construction (the rank itself is
+    integer arithmetic too; see the _QUANTILES note).  One shuffle
+    (partition by lang), windowed rank, no driver collect; a skewed
+    language partition at 100 TB takes the two-pass variant (per-partition
+    histograms + treeReduce) — at 10^7 docs/lang the single window is the
+    right plan."""
+    d = load(spark, sf, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    t = d.select("lang", "doc_id", n_tok.alias("n_tok"))
+    t = t.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("lang").orderBy("n_tok", "doc_id")),
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("lang")))
+    aggs = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"({num} * n + {den - 1}) div {den}"),
+                F.col("n_tok"),
+            )
+        ).alias(name)
+        for name, num, den in _QUANTILES
+    ]
+    return (
+        t.groupBy("lang").agg(*aggs, F.max("n").alias("n_docs")).orderBy("lang")
+    )
+
+
+# =============================================================================
+# Training-data pipeline, round-4 third wave: TF-IDF keywords, unigram-LM
+# rarity, funnel conversion, top-bigram share
+# =============================================================================
+
+_TFIDF_K = 3  # keywords kept per document
+
+
+@_q(
+    "docs_tfidf_topk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok WHERE token <> '' GROUP BY doc_id, token),
+    dfc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    ranked AS (SELECT tf.doc_id, tf.token, tf.tf, dfc.df,
+                      ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                         ORDER BY tf.tf DESC, dfc.df ASC,
+                                                  tf.token ASC) AS rk
+               FROM tf JOIN dfc USING (token))
+    SELECT doc_id, token, tf, df, rk
+    FROM ranked WHERE rk <= {_TFIDF_K} ORDER BY doc_id, rk
+    """,
+)
+def docs_tfidf_topk(spark, sf):
+    """TF-IDF-style keyword extraction: the top-3 terms per document ranked
+    by (term frequency DESC, document frequency ASC, term ASC).
+
+    The ordering key IS tf-idf's ordering for a per-doc ranking — idf is a
+    monotone decreasing function of df, so (tf desc, df asc) ranks exactly
+    like (tf·idf desc) within each tf stratum — but stays in INTEGER space:
+    no engine-dependent float log in the compared output (the gate's
+    exact-output rule; see _QUANTILES).
+
+    Scale shape: token explode feeds a partially-aggregated groupBy on
+    (doc_id, token) — the one corpus-sized shuffle; the df census is a
+    second partial agg over the already-deduped (doc, term) pairs, bounded
+    by vocabulary size, and joins back vocabulary-keyed (AQE broadcasts it
+    when small, shuffled-hash otherwise).  The per-doc top-k window
+    re-partitions by doc_id — rows at that point are (doc, term, tf, df),
+    a small fraction of corpus bytes."""
+    d = load(spark, sf, "documents")
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+    )
+    return (
+        tf.join(dfc, "token")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TFIDF_K)
+        .select("doc_id", "token", "tf", "df", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+@_q(
+    "docs_unigram_lm_rarity",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents),
+    t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+              FROM t GROUP BY token)
+    SELECT t.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(SUM(v.c) AS BIGINT) AS sum_tok_freq,
+           CAST(MIN(v.c) AS BIGINT) AS min_tok_freq
+    FROM t JOIN vocab v USING (token)
+    GROUP BY t.doc_id ORDER BY doc_id
+    """,
+)
+def docs_unigram_lm_rarity(spark, sf):
+    """Unigram-LM document scoring, exact-arithmetic form (the CCNet /
+    Gopher quality-filter core: score each document under a language model
+    fit on the corpus itself).  Emits the integer sufficient statistics —
+    token count, the SUM of each token occurrence's global corpus
+    frequency, and the rarest token's frequency; the float per-token
+    perplexity −Σ log(c/total)/n is a constant-total map over these and is
+    deliberately NOT in the compared output (exact-output rule).
+
+    Scale shape: the LM "training" is one partially-aggregated groupBy on
+    token (vocabulary-bounded output); scoring joins the vocab back onto
+    the exploded corpus on the token key — Zipf makes this join skewed (the
+    head token appears in ~every partition), which is exactly what AQE
+    skew-join splitting handles, and the vocab side broadcasts whenever it
+    fits.  One corpus-sized shuffle (the per-doc re-aggregation)."""
+    d = load(spark, sf, "documents")
+    t = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = t.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        t.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("c").alias("sum_tok_freq"),
+            F.min("c").alias("min_tok_freq"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_FUNNEL_GAP_H = 24  # max hours between consecutive funnel steps
+
+
+@_q(
+    "events_funnel_conversion",
+    f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+            AND e.ts <= v.t_view + INTERVAL {_FUNNEL_GAP_H} HOUR
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            AND e.ts <= c.t_click + INTERVAL {_FUNNEL_GAP_H} HOUR
+          GROUP BY e.user_id)
+    SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     WHEN v.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_depth
+    FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+         LEFT JOIN p USING (user_id)
+    ORDER BY user_id
+    """,
+)
+def events_funnel_conversion(spark, sf):
+    """Ordered-funnel conversion (view → click → purchase): per user, the
+    first view, the first click STRICTLY after that view within the 24-hour
+    conversion window, and likewise the first purchase after that click,
+    plus the funnel depth reached.  The sequential-pattern shape behind
+    every conversion/retention report; the step window is what makes the
+    depth discriminate (every user eventually does everything).
+
+    Scale shape: the oracle's three dependent MIN-after-timestamp passes
+    would cost three shuffles on user_id; the Spark plan does ONE — events
+    group to their user (`collect_list` of slim (ts, type) structs,
+    `sort_array`), then a higher-order `aggregate` fold walks each user's
+    timeline once, advancing the 3-slot state machine entirely JVM-side
+    (no Python, no window, no re-shuffle).  Per-user event counts are
+    session-sized, so the collected arrays stay small; a pathological user
+    would salt-and-merge like the politeness buckets."""
+    ev = load(spark, sf, "events")
+    folded = (
+        ev.select("user_id", F.struct("ts", "event_type").alias("e"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("e")).alias("evs"))
+        .select(
+            "user_id",
+            F.expr(
+                """
+                aggregate(
+                  evs,
+                  struct(CAST(NULL AS TIMESTAMP) AS t1,
+                         CAST(NULL AS TIMESTAMP) AS t2,
+                         CAST(NULL AS TIMESTAMP) AS t3),
+                  (s, e) -> struct(
+                    CASE WHEN s.t1 IS NULL AND e.event_type = 'view'
+                         THEN e.ts ELSE s.t1 END AS t1,
+                    CASE WHEN s.t2 IS NULL AND s.t1 IS NOT NULL
+                              AND e.event_type = 'click' AND e.ts > s.t1
+                              AND e.ts <= s.t1 + INTERVAL {gap} HOUR
+                         THEN e.ts ELSE s.t2 END AS t2,
+                    CASE WHEN s.t3 IS NULL AND s.t2 IS NOT NULL
+                              AND e.event_type = 'purchase' AND e.ts > s.t2
+                              AND e.ts <= s.t2 + INTERVAL {gap} HOUR
+                         THEN e.ts ELSE s.t3 END AS t3)
+                )
+                """.format(gap=_FUNNEL_GAP_H)
+            ).alias("s"),
+        )
+    )
+    return folded.select(
+        "user_id",
+        F.col("s.t1").alias("t_view"),
+        F.col("s.t2").alias("t_click"),
+        F.col("s.t3").alias("t_purchase"),
+        F.when(F.col("s.t3").isNotNull(), 3)
+        .when(F.col("s.t2").isNotNull(), 2)
+        .when(F.col("s.t1").isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("funnel_depth"),
+    ).orderBy("user_id")
+
+
+@_q(
+    "docs_top_bigram_share",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+      FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(ts)),
+                                        i -> ts[i] || ' ' || ts[i + 1]))
+                    AS bigram,
+                  len(ts) - 1 AS n_bigrams
+           FROM t WHERE len(ts) >= 2),
+    cnt AS (SELECT doc_id, n_bigrams, bigram, CAST(COUNT(*) AS BIGINT) AS n
+            FROM bg GROUP BY doc_id, n_bigrams, bigram),
+    best AS (SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, bigram, n,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY n DESC, bigram ASC) AS rk
+             FROM cnt)
+    SELECT doc_id, n_bigrams, bigram AS top_bigram, n AS top_bigram_n
+    FROM best WHERE rk = 1 ORDER BY doc_id
+    """,
+)
+def docs_top_bigram_share(spark, sf):
+    """Most-repeated token bigram per document (the Gopher "fraction of
+    characters in the most common n-gram" repetition filter's raw signal;
+    the share itself is top_bigram_n / n_bigrams downstream — kept as the
+    two exact integers).  Ties break to the lexicographically smallest
+    bigram so both engines pick the same witness.
+
+    Scale shape: shuffle-free up to the gate's final orderBy — bigram
+    construction, per-doc counting, and the arg-max all run as nested array
+    expressions inside the scan's project
+    (distinct-bigrams × bigrams compare is O(L²) in the DOCUMENT
+    length, independent of corpus size; at book length the explode+groupBy
+    formulation takes over).  The arg-max rides `array_min` over
+    (-count, bigram) structs — Spark's struct ordering is lexicographic by
+    field position, giving max-count-then-min-bigram without a window."""
+    d = load(spark, sf, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    d = d.select("doc_id", toks.alias("ts")).filter(F.size("ts") >= 2)
+    bgs = F.expr(
+        "transform(sequence(1, size(ts) - 1),"
+        " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
+    )
+    d = d.select("doc_id", F.size("ts").alias("sz"), bgs.alias("bgs"))
+    best = F.array_min(
+        F.expr(
+            """
+            transform(array_distinct(bgs),
+                      d -> struct(-size(filter(bgs, x -> x = d)) AS neg_n,
+                                  d AS bigram))
+            """
+        )
+    )
+    return d.select(
+        "doc_id",
+        (F.col("sz") - 1).cast("long").alias("n_bigrams"),
+        best.getField("bigram").alias("top_bigram"),
+        (-best.getField("neg_n")).cast("long").alias("top_bigram_n"),
+    ).orderBy("doc_id")

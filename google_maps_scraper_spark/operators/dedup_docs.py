@@ -592,3 +592,113 @@ def docs_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min("sel_pos").alias("first_pos"))
         .orderBy("doc_id", "fp")
     )
+
+
+# =============================================================================
+# Duplicate-cluster connected components (round-4 second wave)
+# =============================================================================
+
+_CC_LINE_TOKS = 10      # fixed line width (matches analytics.doc_lines)
+_CC_MAX_ITERS = 25      # propagation bound; loop exits on the sum fixpoint
+
+_CC_SQL = f"""
+    WITH RECURSIVE
+    tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    idx AS (SELECT doc_id, ts,
+                   unnest(range(CAST(ceil(len(ts) / {_CC_LINE_TOKS}.0) AS BIGINT)))
+                     AS ln
+            FROM tok),
+    lines AS (SELECT DISTINCT doc_id,
+                     array_to_string(
+                       ts[ln * {_CC_LINE_TOKS} + 1 :
+                          ln * {_CC_LINE_TOKS} + {_CC_LINE_TOKS}], ' ')
+                       AS line_text
+              FROM idx),
+    lmin AS (SELECT line_text, MIN(doc_id) AS root FROM lines
+             GROUP BY line_text),
+    edges AS (SELECT DISTINCT l.doc_id AS a, m.root AS b
+              FROM lines l JOIN lmin m USING (line_text)
+              WHERE l.doc_id <> m.root),
+    sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+    reach(doc_id, lbl) AS (
+      SELECT doc_id, doc_id AS lbl FROM documents
+      UNION
+      SELECT s.a AS doc_id, r.lbl FROM sym s JOIN reach r ON s.b = r.doc_id
+    )
+    SELECT doc_id, MIN(lbl) AS cluster_id
+    FROM reach GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@_register("dedup_cluster_components", _CC_SQL)
+def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster connected components: documents sharing any exact
+    10-token line are edges; each document gets its component's minimum
+    doc_id as ``cluster_id`` (the canonical survivor a dedup stage keeps —
+    near-dup dedup is transitive ONLY through components; pairwise keep-min
+    over-deletes chains).
+
+    Scale shape, per the MapReduce-CC literature (Kiveris et al., "CC in
+    MapReduce and Spark"-family min-label propagation):
+
+    - **Star edges, not cliques**: a line shared by k documents contributes
+      k-1 edges to the line's minimum doc (same components as the k²/2
+      clique — connectivity through the shared root), so one boilerplate
+      line in 10^6 docs costs 10^6 edges, not 10^12.  The edge build is the
+      same single groupBy census the line-dedup stage already pays.
+    - **Min-label propagation to fixpoint**: labels start as doc_id; each
+      iteration takes the min over neighbors (one claim-sized join + groupBy
+      per iteration, lineage cut by localCheckpoint).  Convergence is
+      certified by the label SUM — monotonically decreasing, unchanged iff
+      no label moved — observed on the iteration's own materialization job,
+      not a second action.  Iterations are bounded by the component
+      diameter, which star-edges keep near-constant for boilerplate
+      clusters; 25 caps pathological chains.
+
+    The DuckDB oracle replays the same star-edge graph through a recursive
+    CTE (transitive closure), so the full clustering — not just the edge
+    set — is value-checked."""
+    from pyspark.sql import Observation
+
+    from .analytics import doc_lines
+
+    d = load(spark, sf, "documents")
+    lines = doc_lines(d).select("doc_id", "line_text").distinct()
+    lmin = lines.groupBy("line_text").agg(F.min("doc_id").alias("root"))
+    edges = (
+        lines.join(lmin, "line_text")
+        .filter(F.col("doc_id") != F.col("root"))
+        .select(F.col("doc_id").alias("a"), F.col("root").alias("b"))
+        .distinct()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)  # reused every iteration — evaluate once
+
+    labels = d.select("doc_id", F.col("doc_id").alias("lbl"))
+    prev_sum = None
+    for _ in range(_CC_MAX_ITERS):
+        nbr = (
+            sym.join(labels, sym.a == labels.doc_id)
+            .groupBy(F.col("b").alias("doc_id"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        obs = Observation()
+        labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .observe(obs, F.sum("lbl").alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        cur = obs.get["s"]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels.select(
+        "doc_id", F.col("lbl").alias("cluster_id")
+    ).orderBy("doc_id")

@@ -131,6 +131,13 @@ def test_seen_table_scan_probed(plan_log):
         "emb_neardup_pairs",
         "tpch_q3_shipping",
         "tpch_q18_large_orders",
+        "events_range_join_6h",
+        "docs_line_dedup",
+        "docs_contamination_check",
+        "docs_tfidf_topk",
+        "docs_unigram_lm_rarity",
+        "events_funnel_conversion",
+        "docs_top_bigram_share",
     ],
 )
 def test_catalog_query_plans_clean(spark, qname):
