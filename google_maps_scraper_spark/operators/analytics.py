@@ -1732,3 +1732,192 @@ def docs_top_bigram_share(spark, sf):
         best.getField("bigram").alias("top_bigram"),
         (-best.getField("neg_n")).cast("long").alias("top_bigram_n"),
     ).orderBy("doc_id")
+
+
+# =============================================================================
+# Training-data pipeline, round-4 fourth wave: deterministic split assignment,
+# sequence packing (distributed prefix sum), retention cohorts
+# =============================================================================
+
+_SPLIT_SALT = "split-v1"  # version the split: resalting reshuffles assignment
+
+
+@_q(
+    "docs_split_assign",
+    f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(list_sum(list_transform(range(0, 8), i ->
+               CAST(instr('0123456789abcdef',
+                          substring(md5('{_SPLIT_SALT}:' || doc_id), i + 1, 1))
+                    - 1 AS BIGINT) << (4 * (7 - i)))) AS BIGINT) % 100
+               AS bucket
+      FROM documents)
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b ORDER BY doc_id
+    """,
+)
+def docs_split_assign(spark, sf):
+    """Deterministic train/val/test split (80/10/10) by salted content hash
+    — the reproducible, RNG-free assignment a training pipeline needs so
+    that re-runs, backfills, and incremental ingests land every document in
+    the SAME split (a `rand()` split reshuffles on every execution plan
+    change; a hash split never does).  The salt versions the assignment.
+
+    Scale shape: pure map-side arithmetic inside the scan projection — one
+    md5 per document, no shuffle (the gate's orderBy aside), trivially
+    100-TB-safe.  Both engines fold the first 8 hex digits to the same
+    integer (the md5-derived-arithmetic idiom the MinHash/SimHash ops
+    established)."""
+    d = load(spark, sf, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{_SPLIT_SALT}:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"))
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 80, "train")
+            .when(F.col("bucket") < 90, "val")
+            .otherwise("test"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PACK_SEQ_TOKS = 512   # training sequence length (tokens)
+_PACK_SHARD = 100      # docs per prefix-sum shard
+
+
+@_q(
+    "docs_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (SELECT doc_id, n_tok,
+                 CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND 1 PRECEDING), 0) AS BIGINT)
+                   AS off
+          FROM t)
+    SELECT doc_id, n_tok, off AS tok_offset,
+           CAST(off // {_PACK_SEQ_TOKS} AS BIGINT) AS seq_id,
+           CAST(off % {_PACK_SEQ_TOKS} AS BIGINT) AS seq_pos
+    FROM c ORDER BY doc_id
+    """,
+)
+def docs_pack_sequences(spark, sf):
+    """Sequence packing for pretraining (GPT-style concat-then-chop): lay
+    every document out on one global token tape in doc_id order and assign
+    each its starting offset, 512-token training-sequence id, and position
+    within that sequence.  The op is a GLOBAL prefix sum — the textbook
+    "needs the whole corpus in order" shape that naively plans as a
+    single-partition window (one task owns 100 TB).
+
+    Scale shape — two-pass distributed prefix sum instead:
+
+    1. docs group into contiguous shards (``doc_id div 100``); each shard's
+       token total comes from one partial-aggregated groupBy (output rows =
+       #shards, corpus-size-independent per shard);
+    2. shard totals — the TINY table — take the single-partition cumulative
+       window (thousands of rows at 10^10 docs after a second sharding
+       level, never corpus-sized), producing each shard's starting offset;
+    3. the per-doc offset is the shard offset plus an intra-shard running
+       sum, windowed PARTITION BY shard — bounded partitions, full
+       parallelism, one shuffle on the shard key.
+
+    The DuckDB oracle runs the naive global window; equality proves the
+    decomposition exact."""
+    d = load(spark, sf, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        (F.col("doc_id") - (F.col("doc_id") % _PACK_SHARD)).alias("shard"),
+    )
+    shard_tot = t.groupBy("shard").agg(F.sum("n_tok").alias("tot"))
+    w_sh = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    shard_off = shard_tot.select(
+        "shard", F.coalesce(F.sum("tot").over(w_sh), F.lit(0)).alias("shard_off")
+    )
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = (
+        F.coalesce(F.sum("n_tok").over(w_in), F.lit(0)) + F.col("shard_off")
+    )
+    return (
+        t.join(F.broadcast(shard_off), "shard")
+        .select("doc_id", "n_tok", off.alias("tok_offset"))
+        .select(
+            "doc_id",
+            "n_tok",
+            "tok_offset",
+            F.expr(f"tok_offset div {_PACK_SEQ_TOKS}").alias("seq_id"),
+            (F.col("tok_offset") % _PACK_SEQ_TOKS).alias("seq_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DAY_US = 86_400 * 1_000_000
+
+
+@_q(
+    "events_retention_cohorts",
+    f"""
+    WITH w AS (
+      SELECT user_id, epoch_us(ts) // {_DAY_US} AS wk FROM events),
+    c AS (SELECT user_id, MIN(wk) AS cohort_day FROM w GROUP BY user_id),
+    act AS (SELECT DISTINCT w.user_id, c.cohort_day, w.wk - c.cohort_day AS day_offset
+            FROM w JOIN c USING (user_id))
+    SELECT cohort_day, day_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM act GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def events_retention_cohorts(spark, sf):
+    """Daily retention cohorts: users grouped by the epoch-day of their
+    first event; for each (cohort, days-since-cohort) cell, how many of
+    the cohort's users were active.  The classic triangular retention
+    matrix.
+
+    Day index = epoch-microseconds div one day — pure integer arithmetic,
+    identical in both engines (calendar week/day functions differ across
+    engines in week-start, timezone and year-boundary rules; an epoch
+    bucket cannot).
+
+    Scale shape: one groupBy for the cohort census, the cohort map joins
+    back user-keyed (AQE broadcasts when small), one distinct + groupBy for
+    the matrix — the distinct's partial aggregation collapses each user's
+    duplicate (week, offset) rows map-side before the shuffle."""
+    ev = load(spark, sf, "events")
+    w = ev.select(
+        "user_id",
+        F.expr(
+            f"unix_micros(cast(ts as timestamp)) div {_DAY_US}"
+        ).alias("wk"),
+    )
+    c = w.groupBy("user_id").agg(F.min("wk").alias("cohort_day"))
+    return (
+        w.join(c, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            (F.col("wk") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -138,6 +138,8 @@ def test_seen_table_scan_probed(plan_log):
         "docs_unigram_lm_rarity",
         "events_funnel_conversion",
         "docs_top_bigram_share",
+        "docs_pack_sequences",
+        "events_retention_cohorts",
     ],
 )
 def test_catalog_query_plans_clean(spark, qname):
