@@ -1921,3 +1921,48 @@ def events_retention_cohorts(spark, sf):
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+_TUMBLE_US = 6 * 3_600 * 1_000_000  # 6-hour tumbling window
+
+
+@_q(
+    "events_windowed_rates",
+    f"""
+    WITH w AS (
+      SELECT (epoch_us(ts) // {_TUMBLE_US}) * {_TUMBLE_US} AS win_start_us,
+             event_type, user_id
+      FROM events)
+    SELECT win_start_us, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM w GROUP BY win_start_us, event_type
+    ORDER BY win_start_us, event_type
+    """,
+)
+def events_windowed_rates(spark, sf):
+    """Tumbling-window event rates: per 6-hour window and event type, the
+    event count and distinct active users — the batch twin of the
+    Structured Streaming windowed aggregation (`streaming/stream.py` runs
+    the same shape with watermarks; here it is oracle-checkable).
+
+    The window key is Spark's ``F.window`` (epoch-aligned tumbling
+    windows), surfaced as the window-start epoch-microseconds so the
+    compared output is pure integers; the DuckDB oracle reproduces the
+    same alignment with integer bucket arithmetic.
+
+    Scale shape: one partial-aggregated groupBy — counts combine map-side;
+    the distinct-user count shuffles (win, type, user) tuples once (Spark
+    plans count_distinct as a two-phase expand) — both standard and
+    skew-safe because the window key fans out with time."""
+    ev = load(spark, sf, "events")
+    win = F.window(F.col("ts").cast("timestamp"), "6 hours")
+    return (
+        ev.select(win.alias("w"), "event_type", "user_id")
+        .groupBy(F.unix_micros("w.start").alias("win_start_us"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("win_start_us", "event_type")
+    )

@@ -702,3 +702,47 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
     return labels.select(
         "doc_id", F.col("lbl").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+@_register(
+    "docs_dedup_keep_canonical",
+    f"""
+    WITH cc AS ({_CC_SQL})
+    SELECT c.doc_id AS doc_id, c.cluster_id AS cluster_id,
+           CAST(n.n AS BIGINT) AS n_cluster,
+           c.doc_id = c.cluster_id AS is_canonical
+    FROM cc c JOIN (SELECT cluster_id, COUNT(*) AS n FROM cc
+                    GROUP BY cluster_id) n USING (cluster_id)
+    ORDER BY doc_id
+    """,
+)
+def docs_dedup_keep_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup stage's actual OUTPUT: each document labeled with its
+    duplicate cluster, the cluster's size, and whether it is the canonical
+    survivor (the component's minimum doc_id — what the corpus ships;
+    everything else is dropped or downweighted).  Composes the
+    connected-components labeling with the survivor rule, end to end —
+    identify → cluster → select is the full RefinedWeb/CCNet dedup stage,
+    not just its middle step.
+
+    Scale shape: everything downstream of the (already O(edges)) labeling
+    is one vocabulary-of-clusters-sized groupBy plus a key join; the
+    canonical test is pure arithmetic (label == own id) because min-label
+    propagation makes the canonical doc its own label — no second pass, no
+    window."""
+    labels = dedup_cluster_components(spark, sf).select(
+        "doc_id", "cluster_id"
+    )
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_cluster")
+    )
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_cluster",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )

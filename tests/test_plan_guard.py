@@ -140,6 +140,8 @@ def test_seen_table_scan_probed(plan_log):
         "docs_top_bigram_share",
         "docs_pack_sequences",
         "events_retention_cohorts",
+        "docs_dedup_keep_canonical",
+        "events_windowed_rates",
     ],
 )
 def test_catalog_query_plans_clean(spark, qname):
