@@ -47,11 +47,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _catalog():
-    from google_maps_scraper_spark.operators import analytics, dedup_docs, similarity
+    from google_maps_scraper_spark.operators import (
+        analytics,
+        dedup_docs,
+        graph,
+        similarity,
+    )
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
-    for mod in (analytics, dedup_docs, similarity):
+    for mod in (analytics, dedup_docs, graph, similarity):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

@@ -1966,3 +1966,196 @@ def events_windowed_rates(spark, sf):
         )
         .orderBy("win_start_us", "event_type")
     )
+
+
+_SLIDE_US = 3 * 3_600 * 1_000_000  # slide step; window = 2 slides (6 h)
+
+
+@_q(
+    "events_sliding_window_rates",
+    f"""
+    WITH b AS (
+      SELECT (epoch_us(ts) // {_SLIDE_US}) * {_SLIDE_US} AS s0,
+             event_type, user_id
+      FROM events),
+    w AS (
+      SELECT s0 AS win_start_us, event_type, user_id FROM b
+      UNION ALL
+      SELECT s0 - {_SLIDE_US}, event_type, user_id FROM b)
+    SELECT win_start_us, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM w GROUP BY win_start_us, event_type
+    ORDER BY win_start_us, event_type
+    """,
+)
+def events_sliding_window_rates(spark, sf):
+    """Sliding-window event rates (6-hour windows every 3 hours): each event
+    belongs to exactly window/slide = 2 overlapping windows — the smoothing
+    twin of `events_windowed_rates`' tumbling buckets and the batch shape of
+    Structured Streaming's slideDuration windows.
+
+    Spark's ``F.window(ts, "6 hours", "3 hours")`` EXPANDS each row into its
+    two member windows before the groupBy (a generator, not a shuffle); the
+    DuckDB oracle reproduces the expansion as a two-branch UNION ALL of
+    shifted epoch buckets, proving the window assignment exact.
+
+    Scale shape: the expansion multiplies shuffle input by window/slide —
+    the reason production slides are small multiples; counts still partial-
+    aggregate map-side, and the window key fans out with time so no key is
+    hot."""
+    ev = load(spark, sf, "events")
+    win = F.window(F.col("ts").cast("timestamp"), "6 hours", "3 hours")
+    return (
+        ev.select(win.alias("w"), "event_type", "user_id")
+        .groupBy(F.unix_micros("w.start").alias("win_start_us"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("win_start_us", "event_type")
+    )
+
+
+# Raw-URL synthesis (shared shape, both engines build the identical string):
+# six deterministic mess patterns over (doc_id, source) covering upper-case
+# scheme/host, www. prefixes, default and explicit ports, trailing slashes,
+# fragments, utm_ params, empty params, and unsorted query keys.
+_URL_RAW_SQL = """
+    CASE CAST(doc_id % 6 AS INTEGER)
+      WHEN 0 THEN 'HTTP://WWW.Site-' || source || '.COM:80/Crawl/' || doc_id
+                  || '/?b=2&utm_source=feed&a=1#frag'
+      WHEN 1 THEN 'https://site-' || source || '.com:443/p/' || doc_id
+      WHEN 2 THEN 'http://site-' || source || '.com/p/' || doc_id || '/'
+      WHEN 3 THEN 'HTTPS://Site-' || source || '.COM/p/' || doc_id
+                  || '?z=26&y=25&utm_campaign=x&'
+      WHEN 4 THEN 'http://www.site-' || source || '.com:8080/p/' || doc_id
+                  || '?q=' || doc_id
+      ELSE 'https://site-' || source || '.com/#section'
+    END
+"""
+
+
+@_q(
+    "frontier_url_canonicalize",
+    f"""
+    WITH raw AS (
+      SELECT doc_id, {_URL_RAW_SQL} AS url_raw FROM documents),
+    sp AS (
+      SELECT doc_id, url_raw,
+             lower(regexp_extract(url_raw, '^([A-Za-z]+)://', 1)) AS scheme,
+             substr(url_raw, strpos(url_raw, '://') + 3) AS rest
+      FROM raw),
+    hp AS (
+      SELECT *, regexp_extract(rest, '^[^/?#]*', 0) AS hostport FROM sp),
+    parts AS (
+      -- DuckDB regexp_extract yields NULL on no match where Spark yields
+      -- ''; COALESCE pins the oracle to Spark's semantics.
+      SELECT doc_id, url_raw, scheme,
+             regexp_replace(lower(hostport), ':[0-9]+$', '') AS host0,
+             COALESCE(regexp_extract(lower(hostport), ':([0-9]+)$', 1), '')
+               AS port,
+             COALESCE(regexp_extract(substr(rest, length(hostport) + 1),
+                                     '^[^?#]*', 0), '') AS path0,
+             COALESCE(regexp_extract(substr(rest, length(hostport) + 1),
+                                     '[?]([^#]*)', 1), '') AS query0
+      FROM hp),
+    canon AS (
+      SELECT doc_id, url_raw, scheme,
+             CASE WHEN host0 LIKE 'www.%' THEN substr(host0, 5)
+                  ELSE host0 END AS host,
+             CASE WHEN port = '' THEN ''
+                  WHEN scheme = 'http' AND port = '80' THEN ''
+                  WHEN scheme = 'https' AND port = '443' THEN ''
+                  ELSE ':' || port END AS portpart,
+             CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+                  ELSE regexp_replace(path0, '/+$', '') END AS path,
+             -- array_to_string over an EMPTY list is NULL in DuckDB, '' in
+             -- Spark's array_join — coalesce again.
+             COALESCE(array_to_string(
+               list_sort(list_filter(string_split(query0, '&'),
+                                     x -> x <> '' AND substr(x, 1, 4) <> 'utm_')),
+               '&'), '') AS qcanon
+      FROM parts)
+    SELECT doc_id, url_raw,
+           scheme || '://' || host || portpart || path
+             || CASE WHEN qcanon = '' THEN '' ELSE '?' || qcanon END AS url_canon
+    FROM canon ORDER BY doc_id
+    """,
+)
+def frontier_url_canonicalize(spark, sf):
+    """Canonical-URL normalization — the frontier's dedup key (north_star:
+    "frontier ... keyed by canonical-URL hash"; ≙ the reference keying its
+    seen-set on the exact job URL, deduper/hashmap.go, so equivalent URLs
+    spelled differently crawl twice — canonicalization is the fix a
+    10^10-URL frontier needs).
+
+    Rules (RFC 3986 normalization + crawl conventions): lowercase scheme and
+    host, strip ``www.``, drop the default port (80/http, 443/https) but
+    keep explicit ones, drop fragments, strip trailing path slashes (root
+    stays ``/``), drop ``utm_*`` tracking params and empty params, sort the
+    surviving query params.  Path case is PRESERVED (paths are case-
+    sensitive; hosts are not).
+
+    Everything is JVM string/regex arithmetic inside one whole-stage-codegen
+    map — no shuffle, no Python; the seen-set then hashes ``url_canon``
+    (xxhash64) instead of the raw spelling.  The DuckDB oracle re-derives
+    the same normalization from the same six synthesized mess patterns
+    (mixed-case scheme/host, both default ports, fragments, utm params,
+    unsorted keys), proving rule-for-rule parity."""
+    d = load(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.expr(_URL_RAW_SQL).alias("url_raw"))
+        .withColumn(
+            "scheme", F.expr("lower(regexp_extract(url_raw, '^([A-Za-z]+)://', 1))")
+        )
+        .withColumn("rest", F.expr("substr(url_raw, instr(url_raw, '://') + 3)"))
+        .withColumn("hostport", F.expr("regexp_extract(rest, '^[^/?#]*', 0)"))
+        .withColumn("pathqf", F.expr("substr(rest, length(hostport) + 1)"))
+        .withColumn(
+            "host0", F.expr("regexp_replace(lower(hostport), ':[0-9]+$', '')")
+        )
+        .withColumn(
+            "port", F.expr("regexp_extract(lower(hostport), ':([0-9]+)$', 1)")
+        )
+        .withColumn("path0", F.expr("regexp_extract(pathqf, '^[^?#]*', 0)"))
+        .withColumn("query0", F.expr("regexp_extract(pathqf, '[?]([^#]*)', 1)"))
+        .withColumn(
+            "host",
+            F.expr(
+                "CASE WHEN host0 LIKE 'www.%' THEN substr(host0, 5) ELSE host0 END"
+            ),
+        )
+        .withColumn(
+            "portpart",
+            F.expr(
+                "CASE WHEN port = '' THEN ''"
+                " WHEN scheme = 'http' AND port = '80' THEN ''"
+                " WHEN scheme = 'https' AND port = '443' THEN ''"
+                " ELSE ':' || port END"
+            ),
+        )
+        .withColumn(
+            "path",
+            F.expr(
+                "CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'"
+                " ELSE regexp_replace(path0, '/+$', '') END"
+            ),
+        )
+        .withColumn(
+            "qcanon",
+            F.expr(
+                "array_join(array_sort(filter(split(query0, '&'),"
+                " x -> x != '' AND substr(x, 1, 4) != 'utm_')), '&')"
+            ),
+        )
+        .select(
+            "doc_id",
+            "url_raw",
+            F.expr(
+                "scheme || '://' || host || portpart || path"
+                " || CASE WHEN qcanon = '' THEN '' ELSE '?' || qcanon END"
+            ).alias("url_canon"),
+        )
+        .orderBy("doc_id")
+    )

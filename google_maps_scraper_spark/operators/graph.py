@@ -1,0 +1,233 @@
+"""Iterative graph compute over the document link graph.
+
+A web crawl at 10^10-URL scale IS a graph workload: the frontier expands a
+link graph, and the canonical post-crawl analyses — PageRank for recrawl
+prioritisation, triangle counting for spam/link-farm detection — are
+iterative joins over an edge table far too large for any single node.  The
+reference's crawl graph (seed → SERP → place → website,
+``gmaps/job.go``/``gmaps/place.go``) is two hops deep; these operators
+exercise the general-depth machinery on the same engine.
+
+The edge table is DERIVED deterministically from the ``documents`` table
+(doc ``u`` links to ``(u*(j+2) + j) mod N`` for ``j`` in 0..2, self loops
+dropped) so both the Spark plan and the DuckDB oracle construct the
+identical graph at any scale factor with zero external data — the
+BASELINE.json input-hint discipline.  The three multiplier maps share
+different gcds with N, so in-degrees spread (1..7 at N=500) instead of the
+uniform-rank degenerate case a bijective shift map would give.
+
+All ranks are SCALED INTEGERS (1.0 ≡ 1_000_000, damping 0.85 applied as
+``(85*x) div 100``): integer division is associativity-exact, so the
+comparison is bit-exact across engines with no float-ordering hazard.
+
+Scale shapes (10^10 nodes, ~3·10^10 edges):
+
+* PageRank: each iteration is one shuffle — contributions pre-aggregate
+  map-side on ``dst`` (partial sum before the exchange), the rank table
+  joins edge partitions on ``src``.  On a real cluster the edge table is
+  bucketed by ``src`` once so every iteration reuses the same partitioning
+  (no re-shuffle of the edges, only the rank deltas move); rank state is
+  re-wrapped per iteration exactly like the crawl engine's state leaves
+  (``plans/crawl.py`` ``_reset_stats``) so Catalyst planning stays O(1) in
+  iteration count.
+* Triangles: canonical ``u < v`` orientation makes each triangle counted
+  once; the wedge join's fanout is bounded in practice by orienting edges
+  from the lower-(degree, id) endpoint (node-iterator of Schank & Wagner),
+  which caps per-key work at O(max_deg) — with id ordering kept here so the
+  oracle is order-free.  Both joins are plain equi-joins: AQE handles the
+  skewed high-degree keys by splitting their partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .analytics import load
+
+__all__ = ["QUERIES", "ORACLES", "doc_edges"]
+
+QUERIES = {}
+ORACLES = {}
+
+EDGE_FANOUT = 3  # links per document before self-loop drop / dedup
+
+
+def _register(name, sql=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# Shared DuckDB CTE: the derived edge list (directed, self-loops dropped,
+# deduplicated).  Kept textually tiny so each oracle inlines it.
+_EDGES_CTE = f"""
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    e0 AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id * (j.j + 2) + j.j) % n.n AS dst
+      FROM documents d
+      CROSS JOIN n
+      CROSS JOIN (VALUES (0), (1), (2)) AS j(j)
+    ),
+    e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst)
+"""
+
+
+def doc_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed edge list (src, dst) derived from ``documents``.
+
+    ``N`` enters as a SCALAR SUBQUERY (one count job whose result inlines
+    into the projection) rather than a count-crossJoin — the crossJoin form
+    plans as a 1-row BroadcastNestedLoopJoin, which the plan guard forbids
+    outright because every OTHER BNLJ is a scale killer; the generator
+    explode stays inside the scan stage, so edge construction is a single
+    map-side pass at any corpus size."""
+    load(spark, sf, "documents").select("doc_id").createOrReplaceTempView(
+        "gms_graph_docs"
+    )
+    js = ",".join(str(j) for j in range(EDGE_FANOUT))
+    return spark.sql(
+        f"""
+        SELECT src, dst FROM (
+          SELECT doc_id AS src,
+                 (doc_id * (j + 2) + j)
+                   % (SELECT COUNT(*) FROM gms_graph_docs) AS dst
+          FROM gms_graph_docs
+          LATERAL VIEW explode(array({js})) AS j
+        ) WHERE src <> dst
+        GROUP BY src, dst
+        """
+    )
+
+
+_PR_ONE = 1_000_000      # scaled 1.0
+_PR_BASE = 150_000       # (1 - 0.85) * _PR_ONE
+
+
+def _pr_step(ranks: DataFrame, edges_deg: DataFrame, nodes: DataFrame) -> DataFrame:
+    """One scaled-integer PageRank iteration: contributions flow src→dst,
+    pre-aggregated map-side on dst; nodes with no in-links keep the base."""
+    contrib = (
+        edges_deg.join(ranks, "src")
+        .select("dst", F.expr("r div out_deg").alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("s"))
+    )
+    return nodes.join(contrib, nodes.doc_id == contrib.dst, "left").select(
+        F.col("doc_id").alias("src"),
+        (
+            F.lit(_PR_BASE)
+            + F.expr("85 * coalesce(s, 0) div 100").cast("long")
+        ).alias("r"),
+    )
+
+
+@_register(
+    "graph_pagerank_2iter",
+    f"""
+    WITH {_EDGES_CTE},
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY src),
+    r0 AS (SELECT doc_id AS src, CAST({_PR_ONE} AS BIGINT) AS r FROM documents),
+    c1 AS (SELECT e.dst, CAST(SUM(r0.r // deg.out_deg) AS BIGINT) AS s
+           FROM e JOIN deg USING (src) JOIN r0 USING (src) GROUP BY e.dst),
+    r1 AS (SELECT d.doc_id AS src,
+                  CAST({_PR_BASE} + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS r
+           FROM documents d LEFT JOIN c1 ON c1.dst = d.doc_id),
+    c2 AS (SELECT e.dst, CAST(SUM(r1.r // deg.out_deg) AS BIGINT) AS s
+           FROM e JOIN deg USING (src) JOIN r1 USING (src) GROUP BY e.dst),
+    r2 AS (SELECT d.doc_id,
+                  CAST({_PR_BASE} + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT)
+                    AS pr_scaled
+           FROM documents d LEFT JOIN c2 ON c2.dst = d.doc_id)
+    SELECT doc_id, pr_scaled FROM r2 ORDER BY doc_id
+    """,
+)
+def graph_pagerank_2iter(spark, sf):
+    """Two scaled-integer PageRank iterations (damping 0.85) over the
+    derived doc link graph — the recrawl-prioritisation signal a frontier
+    at 10^10 URLs actually uses (change-rate-weighted PageRank is the
+    classic recrawl policy).
+
+    Each iteration = join(ranks, edges on src) + groupBy(dst): contributions
+    partial-aggregate map-side before the one exchange per iteration; out-
+    degrees are computed once and ride the edge table.  Integer ranks
+    (1.0 ≡ 10^6, ``div`` throughout) make the result bit-exact vs the
+    DuckDB oracle — float PageRank would differ by summation order."""
+    edges = doc_edges(spark, sf)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    edges_deg = edges.join(deg, "src")
+    nodes = load(spark, sf, "documents").select("doc_id")
+    ranks = nodes.select(
+        F.col("doc_id").alias("src"), F.lit(_PR_ONE).cast("long").alias("r")
+    )
+    for _ in range(2):
+        ranks = _pr_step(ranks, edges_deg, nodes)
+    return (
+        ranks.select(F.col("src").alias("doc_id"), F.col("r").alias("pr_scaled"))
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "graph_triangle_count",
+    f"""
+    WITH {_EDGES_CTE},
+    u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM u e1
+      JOIN u e2 ON e2.a = e1.b
+      JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    m AS (SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri),
+    cnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM m GROUP BY node)
+    SELECT d.doc_id, COALESCE(cnt.n_tri, 0) AS n_tri
+    FROM documents d LEFT JOIN cnt ON cnt.node = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def graph_triangle_count(spark, sf):
+    """Per-node triangle counts over the undirected doc link graph — the
+    link-farm / spam-cluster detector (dense triangle neighbourhoods mark
+    collusive linking; sparse ones mark organic link structure).
+
+    Canonical ``a < b`` orientation counts each triangle exactly once; the
+    wedge join (e1.b = e2.a ⇒ a < b < c) then one membership equi-join
+    closes the triangle.  Both joins are shuffle equi-joins on edge keys —
+    the node-iterator shape whose fanout a real deployment bounds by
+    orienting on (degree, id) instead of id (documented, result-identical);
+    AQE splits skewed high-degree keys at runtime."""
+    e = doc_edges(spark, sf)
+    u = (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    e1 = u
+    e2 = u.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = u.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    members = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    cnt = members.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    d = load(spark, sf, "documents").select("doc_id")
+    return (
+        d.join(cnt, d.doc_id == cnt.node, "left")
+        .select("doc_id", F.coalesce("n_tri", F.lit(0)).alias("n_tri"))
+        .orderBy("doc_id")
+    )

@@ -142,6 +142,10 @@ def test_seen_table_scan_probed(plan_log):
         "events_retention_cohorts",
         "docs_dedup_keep_canonical",
         "events_windowed_rates",
+        "events_sliding_window_rates",
+        "frontier_url_canonicalize",
+        "graph_pagerank_2iter",
+        "graph_triangle_count",
     ],
 )
 def test_catalog_query_plans_clean(spark, qname):
