@@ -51,12 +51,13 @@ def _catalog():
         analytics,
         dedup_docs,
         graph,
+        sampling,
         similarity,
     )
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
-    for mod in (analytics, dedup_docs, graph, similarity):
+    for mod in (analytics, dedup_docs, graph, sampling, similarity):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

@@ -231,3 +231,45 @@ def graph_triangle_count(spark, sf):
         .select("doc_id", F.coalesce("n_tri", F.lit(0)).alias("n_tri"))
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "graph_reciprocal_edges",
+    f"""
+    WITH {_EDGES_CTE},
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_deg
+            FROM e GROUP BY src),
+    rec AS (SELECT e1.src AS node, CAST(COUNT(*) AS BIGINT) AS recip_n
+            FROM e e1 JOIN e e2 ON e1.src = e2.dst AND e1.dst = e2.src
+            GROUP BY e1.src)
+    SELECT node, out_deg, COALESCE(recip_n, 0) AS recip_n
+    FROM deg LEFT JOIN rec USING (node) ORDER BY node
+    """,
+)
+def graph_reciprocal_edges(spark, sf):
+    """Per-node reciprocal-link counts (u→v with v→u) over the directed doc
+    link graph — the mutual-linking signal of link-exchange/spam-ring
+    detection (organic web linking is overwhelmingly asymmetric; reciprocal
+    density flags collusion, complementing the triangle counter's
+    clustering signal).
+
+    One self-equi-join on the composite (src, dst) key — the reversed edge
+    list reuses the same table, so at scale the join co-locates for free
+    when the edge table is bucketed by its key (same bucketing PageRank's
+    iterations reuse); the per-node rollups partial-aggregate map-side.
+    No new shuffle shape beyond what the other graph ops already pinned."""
+    e = doc_edges(spark, sf)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    rec = e.join(rev, ["src", "dst"]).groupBy("src").agg(
+        F.count(F.lit(1)).alias("recip_n")
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    return (
+        deg.join(rec, "src", "left")
+        .select(
+            F.col("src").alias("node"),
+            "out_deg",
+            F.coalesce("recip_n", F.lit(0)).alias("recip_n"),
+        )
+        .orderBy("node")
+    )
