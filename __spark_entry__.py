@@ -50,6 +50,7 @@ def _catalog():
     from google_maps_scraper_spark.operators import (
         analytics,
         dedup_docs,
+        frontier,
         graph,
         sampling,
         similarity,
@@ -57,7 +58,7 @@ def _catalog():
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
-    for mod in (analytics, dedup_docs, graph, sampling, similarity):
+    for mod in (analytics, dedup_docs, frontier, graph, sampling, similarity):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

@@ -2036,10 +2036,11 @@ _URL_RAW_SQL = """
 """
 
 
-@_q(
-    "frontier_url_canonicalize",
-    f"""
-    WITH raw AS (
+# DuckDB CTE chain reproducing the canonicalization rule-for-rule; shared
+# by the canonicalize oracle and the SURT-key oracle (operators/frontier.py),
+# which builds its sort key on top of `canon_url`.
+_URL_CANON_CTES = f"""
+    raw AS (
       SELECT doc_id, {_URL_RAW_SQL} AS url_raw FROM documents),
     sp AS (
       SELECT doc_id, url_raw,
@@ -2076,11 +2077,21 @@ _URL_RAW_SQL = """
                list_sort(list_filter(string_split(query0, '&'),
                                      x -> x <> '' AND substr(x, 1, 4) <> 'utm_')),
                '&'), '') AS qcanon
-      FROM parts)
-    SELECT doc_id, url_raw,
-           scheme || '://' || host || portpart || path
-             || CASE WHEN qcanon = '' THEN '' ELSE '?' || qcanon END AS url_canon
-    FROM canon ORDER BY doc_id
+      FROM parts),
+    canon_url AS (
+      SELECT doc_id, url_raw,
+             scheme || '://' || host || portpart || path
+               || CASE WHEN qcanon = '' THEN '' ELSE '?' || qcanon END
+               AS url_canon
+      FROM canon)
+"""
+
+
+@_q(
+    "frontier_url_canonicalize",
+    f"""
+    WITH {_URL_CANON_CTES}
+    SELECT doc_id, url_raw, url_canon FROM canon_url ORDER BY doc_id
     """,
 )
 def frontier_url_canonicalize(spark, sf):
