@@ -252,3 +252,208 @@ def frontier_robots_eval(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+# HTML synthesis for link extraction: three anchors per document (absolute,
+# relative, and a messy upper-case absolute) plus a mailto link on every
+# third document — the discovery shapes a link extractor must classify.
+_HTML_RAW_SQL = """
+    '<html><body><a href="https://site-' || source || '.com/p/' || doc_id
+    || '">x</a><p><a href=''/rel/' || (doc_id + 1)
+    || '''>y</a></p><A HREF=''HTTP://site-' || source || '.COM/Crawl/'
+    || doc_id || '''>z</A>'
+    || CASE WHEN doc_id % 3 = 0
+            THEN '<a href="mailto:user@site-' || source || '.com">m</a>'
+            ELSE '' END
+    || '</body></html>'
+"""
+
+_HREF_RE = """(?i)href=["']([^"'>]+)["']"""
+
+
+@_q(
+    "frontier_link_extract",
+    f"""
+    WITH raw AS (
+      SELECT doc_id, source, {_HTML_RAW_SQL} AS html FROM documents),
+    links AS (
+      SELECT doc_id, source,
+             unnest(regexp_extract_all(html,
+               '(?i)href=["'']([^"''>]+)["'']', 1)) AS href
+      FROM raw),
+    resolved AS (
+      SELECT doc_id,
+             regexp_replace(
+               CASE WHEN href LIKE '/%'
+                    THEN 'https://site-' || source || '.com' || href
+                    ELSE href END,
+               '#.*$', '') AS link_url
+      FROM links
+      WHERE lower(href) NOT LIKE 'mailto:%')
+    SELECT DISTINCT doc_id, link_url
+    FROM resolved ORDER BY doc_id, link_url
+    """,
+)
+def frontier_link_extract(spark, sf):
+    """Outlink extraction — the frontier-EXPANSION operator: pull every
+    ``href`` out of a page, classify (absolute / relative / mailto), resolve
+    relatives against the page's own origin, strip fragments, and emit the
+    per-page distinct outlink set (≙ the reference discovering place links
+    in SERP HTML, ``extract/serp.py`` feed-link walk — generalized to the
+    arbitrary-HTML case a web-scale crawl feeds back into its frontier).
+
+    Scale shape: extraction is one ``regexp_extract_all`` + explode inside
+    the pages scan — the multi-KB html column is consumed in the stage that
+    reads it and only the slim (doc_id, url) pairs survive (the engine's
+    "html born and dies in one stage" rule); the per-page DISTINCT
+    partial-aggregates map-side.  Downstream these links meet the
+    canonicalizer and the seen-set anti-join — already pinned by
+    ``frontier_url_canonicalize`` and ``dedup_anti_join``."""
+    d = load(spark, sf, "documents")
+    # Spark builds the identical html via concat of plain literals (the
+    # oracle's SQL-literal quote-doubling is not portable to F.expr).
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><body><a href="https://site-'),
+        F.col("source"),
+        F.lit(".com/p/"),
+        did,
+        F.lit('">x</a><p><a href=\'/rel/'),
+        (F.col("doc_id") + 1).cast("string"),
+        F.lit("'>y</a></p><A HREF='HTTP://site-"),
+        F.col("source"),
+        F.lit(".COM/Crawl/"),
+        did,
+        F.lit("'>z</A>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<a href="mailto:user@site-'),
+                F.col("source"),
+                F.lit('.com">m</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return (
+        d.select("doc_id", "source", html.alias("html"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.regexp_extract_all("html", F.lit(_HREF_RE), F.lit(1))
+            ).alias("href"),
+        )
+        .filter(~F.lower("href").startswith("mailto:"))
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.when(
+                    F.col("href").startswith("/"),
+                    F.concat(
+                        F.lit("https://site-"),
+                        F.col("source"),
+                        F.lit(".com"),
+                        F.col("href"),
+                    ),
+                ).otherwise(F.col("href")),
+                "#.*$",
+                "",
+            ).alias("link_url"),
+        )
+        .distinct()
+        .orderBy("doc_id", "link_url")
+    )
+
+
+_TRAP_MAX_DEPTH = 10   # path segments before the depth trap fires
+_TRAP_MAX_REP = 2      # identical-segment repetitions allowed
+_TRAP_MAX_QUERY = 40   # query-string length before the session-id trap
+
+
+# Path synthesis: four shapes — a repeated-segment loop (calendar/mirror
+# trap), a shallow clean path, a 12-deep chain (depth trap), and a long
+# opaque session-id query (session trap).
+_TRAP_PATH_SQL = """
+    CASE CAST(doc_id % 4 AS INTEGER)
+      WHEN 0 THEN '/cal/' || repeat('d/e/', 3) || 'view'
+      WHEN 1 THEN '/p/' || doc_id
+      WHEN 2 THEN '/a/b/c/d/e/f/g/h/i/j/k/l/' || doc_id
+      ELSE '/item'
+    END
+"""
+
+_TRAP_QUERY_SQL = """
+    CASE WHEN doc_id % 4 = 3
+         THEN 'sid=' || md5(CAST(doc_id AS STRING)) || md5('x' || doc_id)
+         ELSE 'a=1' END
+"""
+
+
+@_q(
+    "frontier_trap_detect",
+    f"""
+    WITH raw AS (
+      SELECT doc_id, {_TRAP_PATH_SQL} AS path, {_TRAP_QUERY_SQL} AS query
+      FROM documents),
+    segs AS (
+      SELECT doc_id, path, query,
+             list_filter(string_split(path, '/'), x -> x <> '') AS segs
+      FROM raw),
+    m AS (
+      SELECT doc_id, path, query,
+             CAST(len(segs) AS BIGINT) AS depth,
+             CAST(list_max(list_transform(list_distinct(segs),
+                    d -> len(list_filter(segs, x -> x = d)))) AS BIGINT)
+               AS max_seg_rep,
+             CAST(length(query) AS BIGINT) AS query_len
+      FROM segs)
+    SELECT doc_id, depth, max_seg_rep, query_len,
+           CASE WHEN depth > {_TRAP_MAX_DEPTH} THEN 'depth'
+                WHEN max_seg_rep > {_TRAP_MAX_REP} THEN 'loop'
+                WHEN query_len > {_TRAP_MAX_QUERY} THEN 'session'
+                ELSE 'ok' END AS verdict
+    FROM m ORDER BY doc_id
+    """,
+)
+def frontier_trap_detect(spark, sf):
+    """Crawler-trap detection — the admission filter that keeps a frontier
+    from diving into infinite URL spaces (Heritrix's classic trap triad):
+    depth traps (calendar/pagination chains past {MAXD} segments),
+    loop traps (the same path segment repeated >{MAXR}× — mirror/cycle
+    links), and session traps (opaque query strings past {MAXQ} chars that
+    make every visit a "new" URL).  Verdict precedence depth→loop→session
+    is fixed so both engines pick the same reason when several fire.
+
+    Scale shape: pure scan-stage arithmetic — split/filter/transform over
+    JVM arrays, no shuffle, no Python; at 10^10 URLs trap-tagging rides the
+    same projection that canonicalizes, so a trapped URL never reaches the
+    seen-set join at all (cheapest possible rejection point)."""
+    d = load(spark, sf, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.expr(_TRAP_PATH_SQL).alias("path"),
+            F.expr(_TRAP_QUERY_SQL).alias("query"),
+        )
+        .withColumn("segs", F.expr("filter(split(path, '/'), x -> x != '')"))
+        .select(
+            "doc_id",
+            F.expr("CAST(size(segs) AS BIGINT)").alias("depth"),
+            F.expr(
+                "CAST(array_max(transform(array_distinct(segs),"
+                " d -> size(filter(segs, x -> x = d)))) AS BIGINT)"
+            ).alias("max_seg_rep"),
+            F.expr("CAST(length(query) AS BIGINT)").alias("query_len"),
+        )
+        .withColumn(
+            "verdict",
+            F.expr(
+                f"CASE WHEN depth > {_TRAP_MAX_DEPTH} THEN 'depth'"
+                f" WHEN max_seg_rep > {_TRAP_MAX_REP} THEN 'loop'"
+                f" WHEN query_len > {_TRAP_MAX_QUERY} THEN 'session'"
+                " ELSE 'ok' END"
+            ),
+        )
+        .orderBy("doc_id")
+    )

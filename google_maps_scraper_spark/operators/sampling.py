@@ -1,6 +1,7 @@
-"""Corpus-sampling and membership-sketch operators (round-4 seventh wave).
+"""Corpus-sampling, sketch, and skew-arithmetic operators (round-4 seventh
+and ninth waves).
 
-Three operators a web-scale training-data pipeline runs between crawl and
+Operators a web-scale training-data pipeline runs between crawl and
 tokenizer, each exact-integer/string so the DuckDB comparison is bit-exact:
 
 * per-domain quota capping — C4/RefinedWeb's "no host dominates the mix"
@@ -245,4 +246,216 @@ def seen_bloom_build(spark, sf):
         )
         .withColumn("n_set", F.expr("CAST(bit_count(bits) AS BIGINT)"))
         .orderBy("word_idx")
+    )
+
+
+_CMS_ROWS = 4   # d: independent hash rows (error probability ~ e^-d)
+_CMS_COLS = 64  # w: counters per row (overestimate ~ total/w)
+
+
+def _cms_oracle() -> str:
+    fold = (
+        "CAST(list_sum(list_transform(range(0, 8), i -> "
+        "CAST(instr('0123456789abcdef', "
+        "substring(md5('cms-v1:' || r.r || ':' || user_id), i + 1, 1)) - 1 "
+        "AS BIGINT) << (4 * (7 - i)))) AS BIGINT)"
+    )
+    rows = ", ".join(f"({r})" for r in range(_CMS_ROWS))
+    return f"""
+    WITH p AS (
+      SELECT r.r AS row_idx, {fold} % {_CMS_COLS} AS col_idx
+      FROM events CROSS JOIN (VALUES {rows}) AS r(r)
+    )
+    SELECT row_idx, col_idx, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM p GROUP BY row_idx, col_idx ORDER BY row_idx, col_idx
+    """
+
+
+@_q("events_cms_build", _cms_oracle())
+def events_cms_build(spark, sf):
+    """Count-Min sketch build over the event stream's user keys — the
+    one-pass heavy-hitter detector a frontier runs to find hot hosts
+    BEFORE they melt a politeness partition (the skew signal behind the
+    engine's salted per-(host,salt) budget windows; a CMS answers "is this
+    key over budget?" in O(d) with no per-key state).  Every counter of
+    the d×w matrix is emitted as a row, so the oracle verifies the sketch
+    cell-for-cell, and the standard guarantee — min over rows ≥ true
+    count — is asserted against exact counts in the pytest oracle.
+
+    Scale shape: the explode is map-side (d rows per event, d={D}); the
+    single groupBy on (row, col) partial-aggregates to at most d·w={DW}
+    cells per partition before the exchange — like the Bloom build, the
+    shuffle is bounded by SKETCH size, not stream size, which is the whole
+    point of sketching at 10^10 events."""
+    ev = load(spark, sf, "events")
+    cells = [
+        F.struct(
+            F.lit(r).alias("row_idx"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"cms-v1:{r}:"),
+                                F.col("user_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _CMS_COLS
+            ).alias("col_idx"),
+        )
+        for r in range(_CMS_ROWS)
+    ]
+    return (
+        ev.select(F.explode(F.array(*cells)).alias("c"))
+        .groupBy(F.col("c.row_idx").alias("row_idx"), F.col("c.col_idx").alias("col_idx"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("row_idx", "col_idx")
+    )
+
+
+_SALT_SHARDS = 8
+
+
+@_q(
+    "events_salted_rollup",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_salted_rollup(spark, sf):
+    """Skew-salted two-stage aggregation: count/sum per event_type computed
+    as groupBy(key, salt) → groupBy(key), with salt = event_id mod {S}.
+    The oracle is the PLAIN one-stage GROUP BY — equality proves the salted
+    decomposition exact for these associative aggregates.
+
+    This is the north rule's skew treatment ("salted repartitioning on
+    eTLD+1 to kill host skew") in catalog form: when one key owns 90% of a
+    10^10-row stream, a single-stage groupBy sends that key's every row to
+    ONE reducer; salting splits it across {S} reducers and the second stage
+    aggregates {S} tiny partials per key.  The engine's politeness windows
+    (`plans/crawl.py` per-(host,salt) rotating budgets) and the host-skew
+    wall-time benchmark (`tools/bench_skew.py`, ratio ≈1.0 at 90%-one-host)
+    rest on exactly this arithmetic."""
+    ev = load(spark, sf, "events")
+    stage1 = (
+        ev.withColumn("salt", F.col("event_id") % _SALT_SHARDS)
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("event_id").alias("ps"),
+        )
+    )
+    return (
+        stage1.groupBy("event_type")
+        .agg(F.sum("pn").alias("n_events"), F.sum("ps").alias("sum_ids"))
+        .orderBy("event_type")
+    )
+
+
+_RARITY_SCALE = 1_000_000
+_RARITY_RANK_SHARD = 1 << 20  # value-range bucket width for the rank shard
+
+
+@_q(
+    "docs_ccnet_rarity_bucket",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents),
+    t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+              FROM t GROUP BY token),
+    per_doc AS (
+      SELECT t.doc_id AS doc_id,
+             CAST((SUM(v.c) * {_RARITY_SCALE}) // COUNT(*) AS BIGINT)
+               AS rarity_key
+      FROM t JOIN vocab v USING (token) GROUP BY t.doc_id),
+    k AS (SELECT doc_id, rarity_key,
+                 ROW_NUMBER() OVER (ORDER BY rarity_key, doc_id) AS rk,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS n
+          FROM per_doc)
+    SELECT doc_id, rarity_key,
+           CASE ((rk - 1) * 3) // n WHEN 0 THEN 'head'
+                                    WHEN 1 THEN 'middle'
+                                    ELSE 'tail' END AS bucket
+    FROM k ORDER BY doc_id
+    """,
+)
+def docs_ccnet_rarity_bucket(spark, sf):
+    """CCNet's head/middle/tail binning: rank every document by its mean
+    per-token corpus frequency (scaled-integer ``sum_tok_freq·10^6 div
+    n_tok`` — low = rare vocabulary) and cut the ranking into exact
+    rank-terciles.  CCNet bins by LM perplexity and keeps the head as the
+    high-quality slice; the integer rarity key is the same sufficient
+    statistic ``docs_unigram_lm_rarity`` emits, kept exact so the tercile
+    boundary cannot drift with float summation order.
+
+    Scale shape: vocabulary census + score join as in the unigram-LM op
+    (one corpus shuffle); the RANKED table is per-document (corpus-size ÷
+    mean-doc-length), and its global rank decomposes exactly like
+    ``docs_pack_sequences``' prefix sum — per-shard counts, tiny cumulative
+    window over shard totals, partitioned intra-shard rank — so no single
+    task ever owns the full ordering.  Rank-terciles (not value-threshold
+    cuts) make the label deterministic under ties via the doc_id
+    tiebreak.
+
+    The shard key here is a VALUE-range bucket (``rarity_key div 2^20``) —
+    monotone in the sort key, so (shard, key, doc_id) order equals global
+    (key, doc_id) order and ties never straddle a shard boundary; value
+    skew across buckets is AQE's problem, not a single task's."""
+    rarity = docs_unigram_lm_rarity_stats(spark, sf)
+    t = rarity.withColumn(
+        "shard", F.expr(f"rarity_key div {_RARITY_RANK_SHARD}")
+    )
+    shard_cnt = t.groupBy("shard").agg(F.count(F.lit(1)).alias("c"))
+    w_sh = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    shard_off = shard_cnt.select(
+        "shard",
+        F.coalesce(F.sum("c").over(w_sh), F.lit(0)).alias("shard_off"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    w_in = Window.partitionBy("shard").orderBy("rarity_key", "doc_id")
+    return (
+        t.join(F.broadcast(shard_off), "shard")
+        .withColumn("rk", F.row_number().over(w_in) + F.col("shard_off"))
+        .select(
+            "doc_id",
+            "rarity_key",
+            F.expr(
+                "CASE ((rk - 1) * 3) div n WHEN 0 THEN 'head'"
+                " WHEN 1 THEN 'middle' ELSE 'tail' END"
+            ).alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def docs_unigram_lm_rarity_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc scaled-integer mean token frequency (shared by the CCNet
+    bucket op): ``(Σ corpus_freq(token)) · 10^6 div n_tok`` per doc."""
+    d = load(spark, sf, "documents")
+    t = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = t.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        t.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(f"CAST((SUM(c) * {_RARITY_SCALE}) div COUNT(*) AS BIGINT)").alias(
+                "rarity_key"
+            )
+        )
     )
