@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .analytics import _URL_CANON_CTES, frontier_url_canonicalize, load
@@ -454,6 +454,135 @@ def frontier_trap_detect(spark, sf):
                 f" WHEN query_len > {_TRAP_MAX_QUERY} THEN 'session'"
                 " ELSE 'ok' END"
             ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SCHED_HOSTS = 37       # synthesized host count
+_SCHED_DELAY_BASE = 100  # ms; per-host delay = base * (1 + host_id % 5)
+
+
+@_q(
+    "frontier_fetch_slot_schedule",
+    f"""
+    WITH u AS (
+      SELECT doc_id,
+             'site-' || CAST(doc_id % {_SCHED_HOSTS} AS STRING) || '.com'
+               AS host,
+             CAST(doc_id % 5 AS BIGINT) AS priority,
+             CAST({_SCHED_DELAY_BASE}
+                  * (1 + (doc_id % {_SCHED_HOSTS}) % 5) AS BIGINT)
+               AS delay_ms
+      FROM documents)
+    SELECT doc_id, host, priority,
+           CAST(ROW_NUMBER() OVER (PARTITION BY host
+                                   ORDER BY priority, doc_id) - 1 AS BIGINT)
+             AS slot,
+           CAST((ROW_NUMBER() OVER (PARTITION BY host
+                                    ORDER BY priority, doc_id) - 1)
+                * delay_ms AS BIGINT) AS fetch_at_ms
+    FROM u ORDER BY doc_id
+    """,
+)
+def frontier_fetch_slot_schedule(spark, sf):
+    """Per-host politeness fetch-slot assignment: within each host, order
+    claimed URLs by (priority, doc_id) and give slot k the dispatch time
+    ``k · crawl_delay(host)`` — the static form of the schedule the crawl
+    engine's rotating per-(host,salt) budget windows enforce dynamically
+    (``plans/crawl.py``), and the arithmetic a distributed fetcher uses to
+    turn "1 request per delay per host" into a precomputed timetable with
+    no coordination at fetch time.  Hosts, priorities, and robots-style
+    crawl delays derive deterministically from doc_id (zero external data).
+
+    Scale shape: ONE window, partitioned by host — never global; a host's
+    queue is the politeness unit and is bounded by the frontier's per-host
+    quota (``docs_domain_quota_cap`` upstream), so partitions stay small
+    even at 10^10 URLs, and the hot-host tail is exactly what the engine's
+    salt shards already split.  No join, no second shuffle: delay rides the
+    projection."""
+    d = load(spark, sf, "documents")
+    u = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("site-"),
+            (F.col("doc_id") % _SCHED_HOSTS).cast("string"),
+            F.lit(".com"),
+        ).alias("host"),
+        (F.col("doc_id") % 5).cast("long").alias("priority"),
+        (
+            F.lit(_SCHED_DELAY_BASE)
+            * (1 + (F.col("doc_id") % _SCHED_HOSTS) % 5)
+        ).cast("long").alias("delay_ms"),
+    )
+    w = Window.partitionBy("host").orderBy("priority", "doc_id")
+    slot = (F.row_number().over(w) - 1).cast("long")
+    return (
+        u.select(
+            "doc_id",
+            "host",
+            "priority",
+            slot.alias("slot"),
+            (slot * F.col("delay_ms")).cast("long").alias("fetch_at_ms"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "frontier_recrawl_diff",
+    """
+    WITH a AS (SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS v
+               FROM documents WHERE doc_id % 10 <> 0),
+    b AS (SELECT doc_id,
+                 CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                           ELSE doc_id % 3 END AS BIGINT) AS v
+          FROM documents WHERE doc_id % 7 <> 0)
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.v = b.v THEN 'same'
+                ELSE 'changed' END AS verdict
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    ORDER BY doc_id
+    """,
+)
+def frontier_recrawl_diff(spark, sf):
+    """Snapshot diff between two crawls of the same URL space — the input
+    to every revisit policy: ``added`` / ``removed`` URLs adjust the
+    frontier, ``changed`` vs ``same`` content hashes feed the per-URL
+    change-rate estimate that sets recrawl priority (Cho & Garcia-Molina's
+    freshness-driven scheduling).  Both snapshots and their content
+    versions derive deterministically from doc_id: snapshot A holds
+    ``doc_id % 10 ≠ 0``, B holds ``doc_id % 7 ≠ 0``, and every
+    ``doc_id % 3 = 0`` page changed its content hash between them.
+
+    Scale shape: one FULL OUTER equi-join on the URL key — at rest both
+    crawl snapshots live bucketed by that key (the engine's url-bucketed
+    pages layout), so the diff is a storage-partitioned zero-shuffle merge;
+    the verdict is a projection over the join's null pattern.  This is the
+    same join discipline as the fetch join, pointed at time instead of
+    content."""
+    d = load(spark, sf, "documents").select("doc_id")
+    a = d.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("a_id"), (F.col("doc_id") % 3).cast("long").alias("a_v")
+    )
+    b = d.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("b_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(1))
+        .otherwise(F.col("doc_id") % 3)
+        .cast("long")
+        .alias("b_v"),
+    )
+    return (
+        a.join(b, a.a_id == b.b_id, "full_outer")
+        .select(
+            F.coalesce("a_id", "b_id").alias("doc_id"),
+            F.when(F.col("a_id").isNull(), F.lit("added"))
+            .when(F.col("b_id").isNull(), F.lit("removed"))
+            .when(F.col("a_v") == F.col("b_v"), F.lit("same"))
+            .otherwise(F.lit("changed"))
+            .alias("verdict"),
         )
         .orderBy("doc_id")
     )

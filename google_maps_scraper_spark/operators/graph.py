@@ -273,3 +273,114 @@ def graph_reciprocal_edges(spark, sf):
         )
         .orderBy("node")
     )
+
+
+_ANCHOR_MOD = 11  # distinct anchor-text vocabulary size in the derived graph
+
+
+@_register(
+    "graph_anchor_text_inversion",
+    f"""
+    WITH {_EDGES_CTE},
+    a AS (SELECT src, dst,
+                 'kw' || CAST((src + dst) % {_ANCHOR_MOD} AS STRING) AS anchor
+          FROM e),
+    inl AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS n_inlinks
+            FROM e GROUP BY dst),
+    da AS (SELECT DISTINCT dst, anchor FROM a),
+    agg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS n_anchors,
+                   string_agg(anchor, ' ' ORDER BY anchor) AS anchors
+            FROM da GROUP BY dst)
+    SELECT inl.dst AS doc_id, n_inlinks, n_anchors, anchors
+    FROM inl JOIN agg ON agg.dst = inl.dst
+    ORDER BY doc_id
+    """,
+)
+def graph_anchor_text_inversion(spark, sf):
+    """Link inversion with anchor-text aggregation — the oldest web-scale
+    reduce there is (the op MapReduce was built to run): flip every edge to
+    point AT its target and collect the distinct anchor texts inlinks use,
+    because what OTHER pages call a URL is a stronger relevance signal than
+    the page's own words.  Anchor text derives deterministically from the
+    edge key (``kw((src+dst) mod {_ANCHOR_MOD})``) so both engines build the
+    identical corpus (the zero-external-data discipline of ``doc_edges``).
+
+    Scale shape: one groupBy on dst — ``collect_set`` dedups INSIDE the
+    partial aggregate, so the map side already emits at most the anchor
+    vocabulary per (partition, dst) and the exchange carries bounded sets,
+    not the raw 3·10^10 edge stream; a production variant caps the set with
+    ``slice()`` after sort (documented, not needed at vocab {_ANCHOR_MOD}).
+    The sorted space-join makes the set comparison order-free and string-
+    exact vs the oracle."""
+    e = doc_edges(spark, sf)
+    a = e.withColumn(
+        "anchor",
+        F.concat(
+            F.lit("kw"),
+            ((F.col("src") + F.col("dst")) % _ANCHOR_MOD).cast("string"),
+        ),
+    )
+    return (
+        a.groupBy("dst")
+        .agg(
+            F.count(F.lit(1)).alias("n_inlinks"),
+            F.count_distinct("anchor").alias("n_anchors"),
+            F.concat_ws(" ", F.array_sort(F.collect_set("anchor"))).alias(
+                "anchors"
+            ),
+        )
+        .select(F.col("dst").alias("doc_id"), "n_inlinks", "n_anchors", "anchors")
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "graph_hits_1iter",
+    f"""
+    WITH {_EDGES_CTE},
+    auth AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS auth FROM e GROUP BY dst),
+    hub AS (SELECT e.src, CAST(SUM(auth.auth) AS BIGINT) AS hub
+            FROM e JOIN auth USING (dst) GROUP BY e.src)
+    SELECT d.doc_id,
+           COALESCE(auth.auth, 0) AS auth,
+           COALESCE(hub.hub, 0) AS hub
+    FROM documents d
+    LEFT JOIN auth ON auth.dst = d.doc_id
+    LEFT JOIN hub ON hub.src = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def graph_hits_1iter(spark, sf):
+    """One un-normalized HITS iteration (Kleinberg) from the uniform start:
+    ``auth(v) = Σ hub₀(u→v) = indegree(v)``, then ``hub(u) = Σ auth(v)`` over
+    u's out-links — hubs are pages whose OUTLINKS point at well-cited pages,
+    the complementary signal to PageRank's in-link flow (a crawl frontier
+    seeds from high-hub pages to reach many authorities per fetch).
+    Normalization is a scalar factor per vector — it cannot change any
+    ordering — so dropping it keeps every score an exact integer and the
+    oracle comparison bit-exact (float L2 normalization would differ by
+    summation order).
+
+    Scale shape: two shuffles total — the indegree groupBy(dst) and the
+    hub groupBy(src) after an equi-join of the edge table with the tiny
+    per-node auth table; both partial-aggregate map-side, and on a real
+    cluster both reuse the single (src)-bucketed edge layout the PageRank
+    iterations pinned (only per-node score deltas ever move)."""
+    e = doc_edges(spark, sf)
+    auth = e.groupBy("dst").agg(F.count(F.lit(1)).alias("auth"))
+    hub = (
+        e.join(auth, "dst")
+        .groupBy("src")
+        .agg(F.sum("auth").alias("hub"))
+    )
+    d = load(spark, sf, "documents").select("doc_id")
+    return (
+        d.join(auth, d.doc_id == auth.dst, "left")
+        .join(hub, d.doc_id == hub.src, "left")
+        .select(
+            "doc_id",
+            F.coalesce("auth", F.lit(0)).alias("auth"),
+            F.coalesce("hub", F.lit(0)).alias("hub"),
+        )
+        .orderBy("doc_id")
+    )
