@@ -122,35 +122,20 @@ def test_seen_table_scan_probed(plan_log):
     assert any("LeftAnti" in p for p in probes)
 
 
-@pytest.mark.parametrize(
-    "qname",
-    [
-        "frontier_claim_topk",
-        "docs_minhash_pairs",
-        "emb_lsh_neardup_pairs",
-        "emb_neardup_pairs",
-        "tpch_q3_shipping",
-        "tpch_q18_large_orders",
-        "events_range_join_6h",
-        "docs_line_dedup",
-        "docs_contamination_check",
-        "docs_tfidf_topk",
-        "docs_unigram_lm_rarity",
-        "events_funnel_conversion",
-        "docs_top_bigram_share",
-        "docs_pack_sequences",
-        "events_retention_cohorts",
-        "docs_dedup_keep_canonical",
-        "events_windowed_rates",
-        "events_sliding_window_rates",
-        "frontier_url_canonicalize",
-        "graph_pagerank_2iter",
-        "graph_triangle_count",
-    ],
-)
+def _catalog_names():
+    import __spark_entry__ as entry
+
+    # crossjoin_grid IS a cross product by spec (queries × grid cells, both
+    # driver-bounded dims — the reference's CreateGridSeedJobs); everything
+    # else must plan without cartesian/nested-loop joins.
+    return sorted(set(entry.queries()) - {"crossjoin_grid"})
+
+
+@pytest.mark.parametrize("qname", _catalog_names())
 def test_catalog_query_plans_clean(spark, qname):
-    """Top catalog queries must plan without cartesian/nested-loop joins at
-    the driver's correctness scale."""
+    """EVERY catalog query must plan without cartesian/nested-loop joins at
+    the driver's correctness scale — enumerated from queries() so new waves
+    are guarded the moment they register."""
     import __spark_entry__ as entry
 
     df = entry.queries()[qname](spark, "/root/testdata/sf0.001")
