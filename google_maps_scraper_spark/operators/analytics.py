@@ -2170,3 +2170,84 @@ def frontier_url_canonicalize(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+_HLL_P = 8           # 2^8 = 256 registers
+_HLL_BUCKETS = 1 << _HLL_P
+_HLL_W = 52          # suffix bits scored for leading zeros (60-bit hash - 8)
+
+# DuckDB-side fold of the first 15 md5 hex chars (60 bits, always positive)
+# into a BIGINT — same instr() trick as the Bloom oracle in sampling.py.
+_HLL_FOLD = (
+    "CAST(list_sum(list_transform(range(0, 15), i -> "
+    "CAST(instr('0123456789abcdef', "
+    "substring(md5('hll-v1:' || user_id), i + 1, 1)) - 1 "
+    "AS BIGINT) << (4 * (14 - i)))) AS BIGINT)"
+)
+
+
+@_q(
+    "events_hll_registers",
+    f"""
+    WITH h AS (SELECT {_HLL_FOLD} AS h FROM events),
+    parts AS (
+      SELECT h % {_HLL_BUCKETS} AS bucket, h // {_HLL_BUCKETS} AS rest FROM h),
+    ranked AS (
+      SELECT bucket,
+             CASE WHEN rest = 0 THEN {_HLL_W + 1}
+                  ELSE {_HLL_W} - length(bin(rest)) + 1 END AS rank
+      FROM parts)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(MAX(rank) AS BIGINT) AS register,
+           CAST(COUNT(*) AS BIGINT) AS n_hashes
+    FROM ranked GROUP BY bucket ORDER BY bucket
+    """,
+)
+def events_hll_registers(spark, sf):
+    """HyperLogLog register build over the event-stream user ids — the
+    approximate-distinct sketch a crawl/analytics engine keeps per host /
+    per day when exact ``COUNT(DISTINCT)`` would shuffle billions of keys
+    (the seen-set's cardinality monitor; ≙ the exact Bloom in
+    ``seen_bloom_build``, traded for O(2^p) state).  Registers are exposed
+    as rows so the oracle pins the exact sketch content, not an estimate:
+    bucket = low p=8 bits of a 60-bit md5-derived hash, register = max
+    over keys of (leading zeros of the remaining 52 bits + 1).  Both
+    engines compute the identical integers — the rank comes from
+    ``length(bin(rest))`` (minimal binary form in Spark AND DuckDB, '0'
+    for zero handled by the CASE), no floats anywhere; the harmonic-mean
+    estimate is a driver-side O(2^p) fold over this result when wanted.
+
+    Scale shape: MAX is idempotent/associative/commutative, so the
+    groupBy(bucket) partial-aggregates map-side and AT MOST 2^p = 256 rows
+    per input partition ever cross the wire regardless of event count —
+    the same bounded-shuffle contract as the Bloom word build, and why
+    HLL union across hosts/days is a free second groupBy at 10^10 keys."""
+    e = load(spark, sf, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll-v1:"), F.col("user_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        e.select(
+            (h % _HLL_BUCKETS).cast("long").alias("bucket"),
+            h.alias("h"),
+        )
+        .select("bucket", F.expr(f"h div {_HLL_BUCKETS}").alias("rest"))
+        .select(
+            "bucket",
+            F.when(F.col("rest") == 0, F.lit(_HLL_W + 1))
+            .otherwise(F.lit(_HLL_W) - F.length(F.bin("rest")) + 1)
+            .alias("rank"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.max("rank").cast("long").alias("register"),
+            F.count(F.lit(1)).alias("n_hashes"),
+        )
+        .orderBy("bucket")
+    )

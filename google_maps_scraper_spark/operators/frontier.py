@@ -586,3 +586,127 @@ def frontier_recrawl_diff(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+# Sitemap synthesis: every source publishes a 2-shard sitemap index
+# (sitemap-0.xml / sitemap-1.xml, docs sharded by doc_id % 2); each child
+# sitemap lists its pages as <url><loc>..</loc><lastmod>..</lastmod></url>
+# blocks in doc_id order, so both engines aggregate the identical XML text.
+_SMAP_PIECE_SQL = """
+    '<url><loc>https://site-' || source || '.com/p/' || doc_id
+    || '</loc><lastmod>2026-' || lpad(CAST((doc_id % 12) + 1 AS VARCHAR), 2, '0')
+    || '-01</lastmod></url>'
+"""
+
+
+@_q(
+    "frontier_sitemap_expand",
+    f"""
+    WITH child AS (
+      SELECT 'https://site-' || source || '.com/sitemap-'
+               || (doc_id % 2) || '.xml' AS sitemap_url,
+             '<urlset>' || string_agg({_SMAP_PIECE_SQL}, '' ORDER BY doc_id)
+               || '</urlset>' AS xml
+      FROM documents GROUP BY source, doc_id % 2),
+    idx AS (
+      SELECT DISTINCT source,
+             '<sitemapindex><sitemap><loc>https://site-' || source
+               || '.com/sitemap-0.xml</loc></sitemap><sitemap><loc>https://site-'
+               || source || '.com/sitemap-1.xml</loc></sitemap></sitemapindex>'
+               AS xml
+      FROM documents),
+    fanout AS (
+      SELECT source,
+             unnest(regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1)) AS child_loc
+      FROM idx),
+    blocks AS (
+      SELECT f.child_loc AS sitemap_url,
+             unnest(regexp_extract_all(c.xml,
+               '<url><loc>[^<]+</loc><lastmod>[^<]+</lastmod></url>', 0)) AS block
+      FROM fanout f JOIN child c ON c.sitemap_url = f.child_loc)
+    SELECT sitemap_url,
+           regexp_extract(block, '<loc>([^<]+)</loc>', 1) AS page_url,
+           regexp_extract(block, '<lastmod>([^<]+)</lastmod>', 1) AS lastmod
+    FROM blocks
+    ORDER BY sitemap_url, page_url
+    """,
+)
+def frontier_sitemap_expand(spark, sf):
+    """Two-level sitemap-index expansion — the crawl SEEDING path a web-scale
+    engine runs before (or instead of) link discovery: fetch each host's
+    sitemap index, extract the child-sitemap locs, fetch those, and emit
+    every (page_url, lastmod) pair for recrawl scheduling (lastmod feeds the
+    change-rate model that ``frontier_recrawl_diff`` closes the loop on).
+    The reference seeds from query grids (``extract/urls.py``); a generic
+    crawl seeds from sitemaps — same frontier-admission sink.
+
+    Scale shape: the index table is O(hosts) and the extracted child-loc
+    fanout is tiny (shards/host), so the fanout side BROADCASTS into the
+    child-sitemap store join — no shuffle of the multi-KB XML column; the
+    XML is parsed (regexp_extract_all + explode) in the same stage that
+    joins it and only slim (url, lastmod) rows survive, the engine's
+    "payload born and dies in one stage" rule.  Child-sitemap synthesis is
+    the only shuffle (groupBy host, shard), and real crawls READ sitemaps
+    instead of aggregating them — the expansion itself is shuffle-free."""
+    d = load(spark, sf, "documents")
+    piece = F.concat(
+        F.lit("<url><loc>https://site-"),
+        F.col("source"),
+        F.lit(".com/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc><lastmod>2026-"),
+        F.lpad(((F.col("doc_id") % 12) + 1).cast("string"), 2, "0"),
+        F.lit("-01</lastmod></url>"),
+    )
+    child = (
+        d.select("source", (F.col("doc_id") % 2).alias("shard"),
+                 F.col("doc_id").alias("doc_id"), piece.alias("piece"))
+        .groupBy("source", "shard")
+        .agg(
+            F.expr(
+                "concat('<urlset>', concat_ws('', transform("
+                "array_sort(collect_list(struct(doc_id, piece))), x -> x.piece)),"
+                " '</urlset>')"
+            ).alias("xml")
+        )
+        .select(
+            F.concat(
+                F.lit("https://site-"), F.col("source"), F.lit(".com/sitemap-"),
+                F.col("shard").cast("string"), F.lit(".xml"),
+            ).alias("sitemap_url"),
+            "xml",
+        )
+    )
+    idx = d.select("source").distinct().select(
+        "source",
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>https://site-"),
+            F.col("source"),
+            F.lit(".com/sitemap-0.xml</loc></sitemap><sitemap><loc>https://site-"),
+            F.col("source"),
+            F.lit(".com/sitemap-1.xml</loc></sitemap></sitemapindex>"),
+        ).alias("xml"),
+    )
+    fanout = idx.select(
+        F.explode(
+            F.regexp_extract_all("xml", F.lit("<loc>([^<]+)</loc>"), F.lit(1))
+        ).alias("child_loc")
+    )
+    blocks = (
+        child.join(F.broadcast(fanout), child.sitemap_url == fanout.child_loc)
+        .select(
+            "sitemap_url",
+            F.explode(
+                F.regexp_extract_all(
+                    "xml",
+                    F.lit("<url><loc>[^<]+</loc><lastmod>[^<]+</lastmod></url>"),
+                    F.lit(0),
+                )
+            ).alias("block"),
+        )
+    )
+    return blocks.select(
+        "sitemap_url",
+        F.regexp_extract("block", "<loc>([^<]+)</loc>", 1).alias("page_url"),
+        F.regexp_extract("block", "<lastmod>([^<]+)</lastmod>", 1).alias("lastmod"),
+    ).orderBy("sitemap_url", "page_url")

@@ -384,3 +384,56 @@ def graph_hits_1iter(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "graph_label_propagation_2iter",
+    f"""
+    WITH {_EDGES_CTE},
+    und AS (SELECT src AS v, dst AS u FROM e
+            UNION ALL
+            SELECT dst AS v, src AS u FROM e),
+    l1 AS (SELECT v, LEAST(v, MIN(u)) AS lbl FROM und GROUP BY v),
+    l2 AS (SELECT und.v AS v, LEAST(MIN(a.lbl), MIN(b.lbl)) AS label
+           FROM und
+           JOIN l1 a ON a.v = und.v
+           JOIN l1 b ON b.v = und.u
+           GROUP BY und.v)
+    SELECT v, CAST(label AS BIGINT) AS label FROM l2 ORDER BY v
+    """,
+)
+def graph_label_propagation_2iter(spark, sf):
+    """Min-label propagation, two synchronous rounds — the connected-
+    components / community-seeding kernel (each node adopts the minimum
+    label in its closed neighborhood; labels start as node ids).  This is
+    the hash-min building block of large-graph CC (Rastogi et al.) that
+    ``dedup_cluster_components`` applies to the dedup graph — here run on
+    the directed crawl link graph treated as undirected, the shape used to
+    group mirror sites / link farms before recrawl budgeting.
+
+    Scale shape: one shuffle per round.  Round 1 is a groupBy(v) over the
+    undirected edge view with a map-side MIN partial; round 2 re-joins the
+    edge table against the tiny (v, lbl) state on both endpoints — on a
+    real cluster the edge table stays bucketed by v (both probes reuse the
+    same layout; only the label table, O(nodes) not O(edges), moves), the
+    same pinned-edge-layout rule as the PageRank iterations above.  The
+    MIN aggregate is idempotent and associative, so stragglers and
+    re-execution are harmless — no float, no ordering hazard."""
+    e = doc_edges(spark, sf)
+    und = e.select(F.col("src").alias("v"), F.col("dst").alias("u")).unionAll(
+        e.select(F.col("dst").alias("v"), F.col("src").alias("u"))
+    )
+    l1 = (
+        und.groupBy("v")
+        .agg(F.min("u").alias("mu"))
+        .select("v", F.least(F.col("v"), F.col("mu")).alias("lbl"))
+    )
+    a = l1.select(F.col("v").alias("av"), F.col("lbl").alias("lbl_v"))
+    b = l1.select(F.col("v").alias("bv"), F.col("lbl").alias("lbl_u"))
+    return (
+        und.join(a, und.v == a.av)
+        .join(b, und.u == b.bv)
+        .groupBy("v")
+        .agg(F.least(F.min("lbl_v"), F.min("lbl_u")).alias("label"))
+        .orderBy("v")
+    )
