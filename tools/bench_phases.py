@@ -72,7 +72,12 @@ def run_level(cpus: int, pages_path: str, workroot: str, seeds_path: str) -> Non
     eng = CrawlEngine(
         spark, pages, wd,
         CrawlConfig(
-            extract_email=True, max_rounds=16, checkpoint_every=100,
+            extract_email=True, max_rounds=16,
+            # Match bench_scaling's GMS_SCALING_CKPT=1 headline mode so the
+            # per-round durable delta-log commit shows up as its own phase.
+            checkpoint_every=(
+                1 if os.environ.get("GMS_SCALING_CKPT") == "1" else 100
+            ),
             extra_reviews=os.environ.get("GMS_SCALING_EXTRA_REVIEWS") == "1",
             # A/B knob: 0 forces shuffle joins for the fetch (isolates the
             # serial driver-side broadcast-build cost inside the dispatch
