@@ -2307,3 +2307,89 @@ def events_decay_recency_score(spark, sf):
         )
         .orderBy("user_id")
     )
+
+
+_SHARD_SALT = "shard-v1"  # versions the shard layout, like _SPLIT_SALT
+_SHARD_COUNT = 16
+
+
+@_q(
+    "docs_shard_manifest",
+    f"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             CAST(list_sum(list_transform(range(0, 8), i ->
+               CAST(instr('0123456789abcdef',
+                          substring(md5('{_SHARD_SALT}:' || doc_id), i + 1, 1))
+                    - 1 AS BIGINT) << (4 * (7 - i)))) AS BIGINT)
+               % {_SHARD_COUNT} AS shard,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+             END AS n_tok
+      FROM documents)
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+)
+def docs_shard_manifest(spark, sf):
+    """Training-shard manifest — the OUTPUT side of the pipeline: documents
+    are assigned to shards by salted content hash (same md5-fold idiom as
+    ``docs_split_assign``, different salt so shard layout and train/val
+    split version independently) and each shard reports the totals a
+    training loader reads before touching data: document count, byte/char
+    budget, token budget (the ``docs_token_count`` formula), and the
+    doc-id range.  Deterministic hashing means a re-run or an incremental
+    backfill lands every document in the SAME shard — manifests stay
+    append-consistent.
+
+    Scale shape: the hash is map-side arithmetic in the scan projection;
+    the only shuffle is the groupBy on {_SHARD_COUNT} keys with map-side
+    partials (each task emits ≤{_SHARD_COUNT} rows regardless of input
+    size).  At 100 TB the shard count rises with the corpus, not the
+    plan: it is one literal.  The real writer is this aggregation plus a
+    ``partitionBy("shard")`` parquet write — the manifest here is the
+    part DuckDB can replay."""
+    d = load(spark, sf, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{_SHARD_SALT}:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _SHARD_COUNT
+    )
+    n_tok = (
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("long")
+    )
+    return (
+        d.select(
+            shard.alias("shard"),
+            F.col("doc_id"),
+            F.col("n_chars"),
+            n_tok.alias("n_tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard")
+    )

@@ -437,3 +437,138 @@ def graph_label_propagation_2iter(spark, sf):
         .agg(F.least(F.min("lbl_v"), F.min("lbl_u")).alias("label"))
         .orderBy("v")
     )
+
+
+@_register(
+    "graph_degree_histogram",
+    f"""
+    WITH {_EDGES_CTE},
+    od AS (SELECT d.doc_id, CAST(COUNT(e.src) AS BIGINT) AS deg
+           FROM documents d LEFT JOIN e ON e.src = d.doc_id
+           GROUP BY d.doc_id),
+    idg AS (SELECT d.doc_id, CAST(COUNT(e.dst) AS BIGINT) AS deg
+            FROM documents d LEFT JOIN e ON e.dst = d.doc_id
+            GROUP BY d.doc_id),
+    ho AS (SELECT deg AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes_out
+           FROM od GROUP BY deg),
+    hi AS (SELECT deg AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes_in
+           FROM idg GROUP BY deg)
+    SELECT COALESCE(ho.degree, hi.degree) AS degree,
+           COALESCE(n_nodes_out, 0) AS n_nodes_out,
+           COALESCE(n_nodes_in, 0) AS n_nodes_in
+    FROM ho FULL OUTER JOIN hi ON ho.degree = hi.degree
+    ORDER BY degree
+    """,
+)
+def graph_degree_histogram(spark, sf):
+    """Degree distribution of the link graph — the first diagnostic run on
+    any web graph (the in-degree tail is the power law that decides skew
+    strategy: which hosts need salting, where AQE skew-split will fire,
+    how deep the politeness queues get).  Zero-degree nodes are COUNTED
+    (left join from the node table), because "pages nobody links to" is
+    exactly the orphan set a recrawl scheduler treats specially.
+
+    Scale shape (10^10 nodes): two groupBys over the edge table shuffled
+    on node id (map-side count partials; AQE splits the celebrity keys),
+    then histograms over the per-node table — whose output is only as
+    large as the number of DISTINCT degree values (≪ nodes, by the power
+    law itself), so the final full-outer merge is a broadcast-sized join.
+    No float, no ordering hazard: every column is a count."""
+    e = doc_edges(spark, sf)
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def hist(key: str, out_name: str) -> DataFrame:
+        per_node = (
+            docs.join(
+                e.groupBy(F.col(key).alias("doc_id")).agg(
+                    F.count(F.lit(1)).alias("d")
+                ),
+                "doc_id",
+                "left",
+            )
+            .select(F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("degree"))
+        )
+        return per_node.groupBy("degree").agg(F.count(F.lit(1)).alias(out_name))
+
+    ho = hist("src", "n_nodes_out")
+    hi = hist("dst", "n_nodes_in")
+    return (
+        ho.join(hi, "degree", "full_outer")
+        .select(
+            "degree",
+            F.coalesce("n_nodes_out", F.lit(0)).cast("long").alias("n_nodes_out"),
+            F.coalesce("n_nodes_in", F.lit(0)).cast("long").alias("n_nodes_in"),
+        )
+        .orderBy("degree")
+    )
+
+
+_BFS_SEED_MOD = 97  # doc_id % 97 == 0 marks the seed set (~1% of nodes)
+
+
+@_register(
+    "graph_bfs_depth2",
+    f"""
+    WITH {_EDGES_CTE},
+    d0 AS (SELECT doc_id AS v FROM documents WHERE doc_id % {_BFS_SEED_MOD} = 0),
+    r1 AS (SELECT DISTINCT e.dst AS v FROM e JOIN d0 ON e.src = d0.v
+           WHERE e.dst NOT IN (SELECT v FROM d0)),
+    r2 AS (SELECT DISTINCT e.dst AS v FROM e JOIN r1 ON e.src = r1.v
+           WHERE e.dst NOT IN (SELECT v FROM d0)
+             AND e.dst NOT IN (SELECT v FROM r1)),
+    lab AS (SELECT v, 0 AS depth FROM d0
+            UNION ALL SELECT v, 1 FROM r1
+            UNION ALL SELECT v, 2 FROM r2)
+    SELECT d.doc_id, CAST(COALESCE(lab.depth, -1) AS BIGINT) AS depth
+    FROM documents d LEFT JOIN lab ON lab.v = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def graph_bfs_depth2(spark, sf):
+    """Breadth-first crawl-depth labeling from a seed set, depth cap 2 —
+    the north_star's "breadth-first-with-depth-cap crawl ordering" as a
+    standalone graph kernel (the crawl engine's seed → SERP → place
+    expansion IS this computation; ``max_depth`` in the reference's
+    job chain, gmaps/job.go).  Each node gets the minimum number of hops
+    from any seed within the cap, or -1 if unreachable — the label a
+    frontier uses to enforce the depth cap without carrying per-path
+    state.
+
+    Scale shape: one equi-join + anti-join per level — the exact
+    admission pipeline of a crawl round (expand claimed, drop seen),
+    so each level is one shuffle over the edge table and the "seen"
+    anti-join probes a frontier-sized table (broadcast-sized relative to
+    the edges at every real depth; the crawl engine's scan-probe
+    semi-join is the same shape).  Levels are inherently sequential —
+    that is the data dependency, same as the reference's depth loop."""
+    e = doc_edges(spark, sf)
+    docs = load(spark, sf, "documents").select("doc_id")
+    d0 = docs.filter(F.col("doc_id") % _BFS_SEED_MOD == 0).select(
+        F.col("doc_id").alias("v")
+    )
+    r1 = (
+        e.join(d0, e.src == d0.v)
+        .select(F.col("dst").alias("v"))
+        .distinct()
+        .join(d0, "v", "left_anti")
+    )
+    seen01 = d0.unionAll(r1)
+    r2 = (
+        e.join(r1, e.src == r1.v)
+        .select(F.col("dst").alias("v"))
+        .distinct()
+        .join(seen01, "v", "left_anti")
+    )
+    lab = (
+        d0.withColumn("depth", F.lit(0))
+        .unionAll(r1.withColumn("depth", F.lit(1)))
+        .unionAll(r2.withColumn("depth", F.lit(2)))
+    )
+    return (
+        docs.join(lab, docs.doc_id == lab.v, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("depth"), F.lit(-1)).cast("long").alias("depth"),
+        )
+        .orderBy("doc_id")
+    )
