@@ -2393,3 +2393,326 @@ def docs_shard_manifest(spark, sf):
         )
         .orderBy("shard")
     )
+
+
+# =============================================================================
+# Round-4 closing wave p: MIME sniffing, Gopher-rule quality gate, fetch-rate
+# anomaly detection, and video frame-sample planning
+# =============================================================================
+
+# Magic-byte table for the MIME sniffer: (prefix bytes, mime).  The synth
+# side assigns kind = doc_id % 6; the oracle replays the assignment
+# arithmetically, so the sniffer's byte-level decisions are what's verified.
+_MIME_MAGIC: list[tuple[bytes, str]] = [
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"\x1f\x8b\x08", "application/gzip"),
+    (b"%PDF-", "application/pdf"),
+]
+_MIME_SYNTH: list[tuple[bytes, str]] = [
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff\xe0\x00\x10JFIF", "image/jpeg"),
+    (b"\x1f\x8b\x08\x00", "application/gzip"),
+    (b"%PDF-1.7\n%", "application/pdf"),
+    (b"<!DOCTYPE html><html><head>", "text/html"),
+    (b"Lorem ipsum dolor sit ", "text/plain"),
+]
+
+
+def sniff_mime(b: bytes) -> str:
+    """Magic-byte MIME classification (the WARC-processing staple: Common
+    Crawl's `content_mime_detected` column is exactly this over response
+    bodies).  Deterministic table walk; HTML is detected by a
+    case-insensitive tag scan of the first 64 bytes; printable-ASCII bodies
+    fall back to text/plain, anything else to application/octet-stream."""
+    for prefix, mime in _MIME_MAGIC:
+        if b.startswith(prefix):
+            return mime
+    head = b[:64].lower()
+    if head.lstrip().startswith((b"<!doctype html", b"<html")):
+        return "text/html"
+    if all(32 <= c < 127 or c in (9, 10, 13) for c in b[:256]):
+        return "text/plain"
+    return "application/octet-stream"
+
+
+def _mime_sniff_oracle() -> str:
+    mime_case = " ".join(
+        f"WHEN {k} THEN '{m}'" for k, (_, m) in enumerate(_MIME_SYNTH)
+    )
+    hex_case = " ".join(
+        f"WHEN {k} THEN '{p[:4].hex().upper()}'"
+        for k, (p, _) in enumerate(_MIME_SYNTH)
+    )
+    len_case = " ".join(
+        f"WHEN {k} THEN {len(p)}" for k, (p, _) in enumerate(_MIME_SYNTH)
+    )
+    return f"""
+    SELECT doc_id,
+           CASE doc_id % 6 {mime_case} END AS mime,
+           CASE doc_id % 6 {hex_case} END AS magic_hex,
+           CAST((CASE doc_id % 6 {len_case} END)
+                + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS byte_len
+    FROM documents ORDER BY doc_id
+    """
+
+
+@_q("docs_mime_sniff", _mime_sniff_oracle())
+def docs_mime_sniff(spark, sf):
+    """Content-type sniffing over an opaque binary column — the first
+    operator any WARC/Common-Crawl ingest runs (reference analog: the
+    fetch path dispatches on response kind, gmaps/job.go SERP-vs-place
+    branch; here the dispatch key is computed from payload bytes).  A
+    deterministic payload (magic prefix chosen by doc_id % 6, plus the
+    doc id rendered as ASCII) is synthesized per document; an INDEPENDENT
+    vectorized sniffer classifies it back by magic-byte walk, HTML tag
+    scan, and printable fallback.  The oracle recomputes mime, the leading
+    4-byte hex, and the byte length arithmetically — so a sniffer that
+    misclassifies any of the six families hash-mismatches.
+
+    Scale shape: synth and sniff are one Arrow batch pass each inside the
+    scan stage (no shuffle at all — the ORDER BY is the catalog's
+    presentation sort); magic_hex/byte_len are JVM expressions over the
+    binary column, proving binary columns flow through codegen untouched."""
+
+    @F.pandas_udf("binary")
+    def synth_payload(doc_id: pd.Series) -> pd.Series:
+        def mk(i: int) -> bytes:
+            return _MIME_SYNTH[i % 6][0] + str(i).encode("ascii")
+
+        return doc_id.map(lambda i: mk(int(i)))
+
+    @F.pandas_udf("string")
+    def sniff(payload: pd.Series) -> pd.Series:
+        return payload.map(sniff_mime)
+
+    d = load(spark, sf, "documents").select("doc_id")
+    return (
+        d.withColumn("payload", synth_payload("doc_id"))
+        .select(
+            "doc_id",
+            sniff("payload").alias("mime"),
+            F.hex(F.expr("substring(payload, 1, 4)")).alias("magic_hex"),
+            F.octet_length("payload").cast("long").alias("byte_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Gopher-style quality-gate thresholds (Rae et al. 2021, §A1.1 "quality
+# filtering"), recalibrated to the testdata corpus so both pass and every
+# fail_reason occur: the paper's 50-word minimum becomes 40 (testdata docs
+# run 10-99 words), mean-word-length [3,10] and the stop-word and
+# alpha-fraction rules keep the published shape.
+_GOPHER_MIN_WORDS = 40
+_GOPHER_STOP_RE = r"\b(the|a|and|of|to|in)\b"
+
+
+@_q(
+    "docs_gopher_quality_gate",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_words,
+             CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+               AS sum_chars,
+             CAST(len(regexp_extract_all(lower(text), '{_GOPHER_STOP_RE}'))
+               AS BIGINT) AS stop_hits,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  w -> regexp_matches(w, '^[A-Za-z]+$')))
+               AS BIGINT) AS alpha_words
+      FROM documents)
+    SELECT doc_id, n_words,
+           CASE WHEN n_words < {_GOPHER_MIN_WORDS} THEN 'too_few_words'
+                WHEN sum_chars < 3 * n_words OR sum_chars > 10 * n_words
+                     THEN 'word_length'
+                WHEN stop_hits < 2 THEN 'low_stopword'
+                WHEN 5 * alpha_words < 4 * n_words THEN 'non_alpha'
+                ELSE 'ok' END AS fail_reason,
+           (n_words >= {_GOPHER_MIN_WORDS}
+            AND sum_chars >= 3 * n_words AND sum_chars <= 10 * n_words
+            AND stop_hits >= 2
+            AND 5 * alpha_words >= 4 * n_words) AS pass
+    FROM s ORDER BY doc_id
+    """,
+)
+def docs_gopher_quality_gate(spark, sf):
+    """Rule-based document quality GATE (Gopher §A1.1 / Dolma's reimpl):
+    where ``docs_quality_score`` emits raw signals, this applies named
+    accept/reject RULES in a fixed order and reports the first failure —
+    the operator a training-data pipeline actually filters with, and the
+    reason column is what its curation dashboard aggregates.  Rules:
+    word count ≥ {_GOPHER_MIN_WORDS}; mean word length in [3,10]; ≥2
+    stop-word hits; ≥80% purely-alphabetic words.
+
+    All four signals are integer-exact (mean word length and the 0.8
+    fraction are compared as cross-multiplied integers, never divided) so
+    the oracle compare is bit-stable.  Scale shape: split/filter/size are
+    JVM array expressions per row inside one codegen'd scan stage — no
+    explode, no shuffle, no Python; at 100 TB this is a pure map over the
+    corpus exactly like the reference's validate() gate
+    (gmaps/entry.go IsWebsiteValidForEmail analog on the text axis)."""
+    d = load(spark, sf, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    n_words = F.size(toks).cast("long")
+    sum_chars = F.length(F.regexp_replace("text", r"\s", "")).cast("long")
+    stop_hits = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(_GOPHER_STOP_RE), F.lit(0))
+    ).cast("long")
+    alpha_words = F.size(
+        F.filter(toks, lambda w: w.rlike("^[A-Za-z]+$"))
+    ).cast("long")
+    s = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        sum_chars.alias("sum_chars"),
+        stop_hits.alias("stop_hits"),
+        alpha_words.alias("alpha_words"),
+    )
+    ok_len = (F.col("sum_chars") >= 3 * F.col("n_words")) & (
+        F.col("sum_chars") <= 10 * F.col("n_words")
+    )
+    return (
+        s.select(
+            "doc_id",
+            "n_words",
+            F.when(F.col("n_words") < _GOPHER_MIN_WORDS, "too_few_words")
+            .when(~ok_len, "word_length")
+            .when(F.col("stop_hits") < 2, "low_stopword")
+            .when(5 * F.col("alpha_words") < 4 * F.col("n_words"), "non_alpha")
+            .otherwise("ok")
+            .alias("fail_reason"),
+            (
+                (F.col("n_words") >= _GOPHER_MIN_WORDS)
+                & ok_len
+                & (F.col("stop_hits") >= 2)
+                & (5 * F.col("alpha_words") >= 4 * F.col("n_words"))
+            ).alias("pass"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "events_rate_anomaly",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    t AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_hours
+      FROM h GROUP BY event_type)
+    SELECT h.event_type AS event_type, h.hr AS hr, h.n AS n,
+           t.total AS total, t.n_hours AS n_hours
+    FROM h JOIN t USING (event_type)
+    WHERE h.n * t.n_hours >= 2 * t.total
+    ORDER BY event_type, hr
+    """,
+)
+def events_rate_anomaly(spark, sf):
+    """Hourly fetch-rate anomaly detection — the crawl-operations monitor:
+    flag (event_type, hour) buckets whose count reaches 2× that type's
+    per-hour mean (a host suddenly serving redirect storms, a link-farm
+    burst).  The threshold compare is cross-multiplied
+    (``n * n_hours >= 2 * total``) so it is integer-exact — no float mean
+    crosses an engine boundary.
+
+    Scale shape: the hourly rollup is one map-combined groupBy (output is
+    |types|×|hours|, tiny); the per-type totals aggregate THAT result, not
+    the raw events, and broadcast back onto it — at 10^10 events the raw
+    table is touched exactly once."""
+    ev = load(spark, sf, "events")
+    h = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    t = h.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+    )
+    return (
+        h.join(F.broadcast(t), "event_type")
+        .filter(F.col("n") * F.col("n_hours") >= 2 * F.col("total"))
+        .select("event_type", "hr", "n", "total", "n_hours")
+        .orderBy("event_type", "hr")
+    )
+
+
+# Video frame-sampling parameters: fps is carried ×100 so NTSC 23.97 stays
+# integral; 4 frames sampled evenly across the clip.
+_VID_FPS_X100 = [2397, 2400, 2500, 3000, 6000]
+_VID_SAMPLES = 4
+
+
+@_q(
+    "multimodal_video_frame_plan",
+    f"""
+    WITH v AS (
+      SELECT doc_id,
+             CAST(2000 + (doc_id * 53) % 20000 AS BIGINT) AS duration_ms,
+             CAST(([{",".join(str(f) for f in _VID_FPS_X100)}])
+                  [CAST(doc_id % 5 AS INT) + 1] AS BIGINT) AS fps_x100
+      FROM documents),
+    f AS (
+      SELECT doc_id, duration_ms, fps_x100,
+             duration_ms * fps_x100 // 100000 AS n_frames
+      FROM v)
+    SELECT doc_id, duration_ms, fps_x100, n_frames,
+           CAST(j AS INT) AS sample_ord,
+           j * n_frames // {_VID_SAMPLES} AS frame_idx,
+           (j * n_frames // {_VID_SAMPLES}) * 100000 // fps_x100
+             AS frame_ts_ms
+    FROM (SELECT *, unnest(range(0, {_VID_SAMPLES})) AS j FROM f)
+    ORDER BY doc_id, sample_ord
+    """,
+)
+def multimodal_video_frame_plan(spark, sf):
+    """Video frame-sampling PLAN — the third modality beside
+    ``multimodal_image_dims`` (image) and ``multimodal_wav_meta`` (audio):
+    given per-clip metadata (duration, fps — synthesized deterministically
+    from doc_id; a real pipeline reads it from a container-header decode
+    exactly like the WAV chunk walk), emit the {_VID_SAMPLES} evenly-spaced
+    frame indices and their presentation timestamps that a frame-extract
+    UDF would decode.  The actual pixel decode needs codec libs this
+    container doesn't ship, so it stays a stub BY DESIGN; the Spark-side
+    plumbing a 100-TB video pipeline needs — typed metadata, integral
+    fps×100 arithmetic (NTSC 23.97 without floats), sequence+explode
+    fan-out, per-(clip, sample) rows — is all real and oracle-verified.
+
+    Scale shape: explode(sequence(0, {_VID_SAMPLES - 1})) is a Generate
+    inside the scan stage (rows ×{_VID_SAMPLES}, no shuffle); every
+    timestamp is integer ``div`` arithmetic, bit-identical across engines."""
+    d = load(spark, sf, "documents").select("doc_id")
+    fps_arr = F.array(*[F.lit(f) for f in _VID_FPS_X100])
+    v = d.select(
+        "doc_id",
+        (2000 + (F.col("doc_id") * 53) % 20000).cast("long").alias("duration_ms"),
+        F.element_at(fps_arr, (F.col("doc_id") % 5 + 1).cast("int"))
+        .cast("long")
+        .alias("fps_x100"),
+    ).withColumn(
+        "n_frames", F.expr("duration_ms * fps_x100 div 100000").cast("long")
+    )
+    return (
+        v.select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.lit(_VID_SAMPLES - 1))).alias("j"),
+        )
+        .select(
+            "doc_id",
+            "duration_ms",
+            "fps_x100",
+            "n_frames",
+            F.col("j").cast("int").alias("sample_ord"),
+            F.expr(f"j * n_frames div {_VID_SAMPLES}").cast("long").alias("frame_idx"),
+            F.expr(
+                f"(j * n_frames div {_VID_SAMPLES}) * 100000 div fps_x100"
+            )
+            .cast("long")
+            .alias("frame_ts_ms"),
+        )
+        .orderBy("doc_id", "sample_ord")
+    )

@@ -827,3 +827,79 @@ def frontier_consistent_hash_assign(spark, sf):
         F.col("b.shard").cast("long").alias("shard"),
         F.col("b.dist").cast("long").alias("ring_distance"),
     ).orderBy("host")
+
+
+@_q(
+    "frontier_redirect_resolve",
+    """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    m AS (
+      SELECT doc_id AS src, (doc_id * 5 + 7) % n.n AS dst
+      FROM documents CROSS JOIN n
+      WHERE doc_id % 3 = 0)
+    SELECT d.doc_id AS doc_id,
+           CAST(COALESCE(m3.dst, m2.dst, m1.dst, d.doc_id) AS BIGINT)
+             AS final_id,
+           CAST(CASE WHEN m3.dst IS NOT NULL THEN 3
+                     WHEN m2.dst IS NOT NULL THEN 2
+                     WHEN m1.dst IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS hops,
+           COALESCE(m3.dst, m2.dst, m1.dst, d.doc_id) % 3 <> 0 AS terminal
+    FROM documents d
+    LEFT JOIN m m1 ON m1.src = d.doc_id
+    LEFT JOIN m m2 ON m2.src = m1.dst
+    LEFT JOIN m m3 ON m3.src = m2.dst
+    ORDER BY doc_id
+    """,
+)
+def frontier_redirect_resolve(spark, sf):
+    """Redirect-chain resolution with a hop cap — the admission-time
+    operator between link extraction and the URL-seen check: a crawl that
+    admits redirect SOURCES re-fetches every hop and double-counts the
+    target, so the frontier resolves chains to their final URL first
+    (reference analog: the googleRedirect unwrap in extract/urls.py ≙
+    gmaps/urls.go, generalized from one hop to a capped chain walk).
+
+    The redirect map is derived deterministically from ``documents``
+    (every third doc redirects to ``(5·id+7) mod N``, N as a scalar
+    subquery — same discipline as ``graph.doc_edges``), so both engines
+    build the identical graph.  Resolution = 3 chained LEFT self-joins;
+    NULLs propagate past chain end, so ``coalesce`` of the hop columns is
+    the furthest URL reached, the hop count falls out of the same
+    NULL pattern, and terminality is arithmetic on the final id (no 4th
+    join).  Rows still pointing at a redirecting URL after 3 hops surface
+    with ``terminal = false`` — the caller's retry/drop policy sees them
+    explicitly, like ``emb_lsh_ann_topk``'s flagged fallback.
+
+    Scale shape: each hop is a hash equi-join of the frontier against the
+    (much smaller) redirect map — broadcast when it fits, shuffled-hash
+    when it doesn't; a chain cap of H costs H joins, and the production
+    alternative for unbounded chains is pointer-doubling (log₂ H rounds)
+    over the same join kernel, the trade the docstring of
+    ``graph_bfs_depth2`` records for depth too."""
+    load(spark, sf, "documents").select("doc_id").createOrReplaceTempView(
+        "gms_redirect_docs"
+    )
+    return spark.sql(
+        """
+        WITH m AS (
+          SELECT doc_id AS src,
+                 (doc_id * 5 + 7)
+                   % (SELECT COUNT(*) FROM gms_redirect_docs) AS dst
+          FROM gms_redirect_docs WHERE doc_id % 3 = 0)
+        SELECT d.doc_id AS doc_id,
+               CAST(COALESCE(m3.dst, m2.dst, m1.dst, d.doc_id) AS BIGINT)
+                 AS final_id,
+               CAST(CASE WHEN m3.dst IS NOT NULL THEN 3
+                         WHEN m2.dst IS NOT NULL THEN 2
+                         WHEN m1.dst IS NOT NULL THEN 1
+                         ELSE 0 END AS INT) AS hops,
+               COALESCE(m3.dst, m2.dst, m1.dst, d.doc_id) % 3 <> 0
+                 AS terminal
+        FROM gms_redirect_docs d
+        LEFT JOIN m m1 ON m1.src = d.doc_id
+        LEFT JOIN m m2 ON m2.src = m1.dst
+        LEFT JOIN m m3 ON m3.src = m2.dst
+        ORDER BY doc_id
+        """
+    )
