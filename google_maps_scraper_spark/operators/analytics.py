@@ -2716,3 +2716,79 @@ def multimodal_video_frame_plan(spark, sf):
         )
         .orderBy("doc_id", "sample_ord")
     )
+
+
+# Late-data parameters: arrival order is event time plus deterministic
+# +/-1h jitter (Knuth multiplicative hash of event_id), allowed lateness
+# 30 min — at sf0.01 ~27% of events arrive late, a non-degenerate mix.
+_LATE_JITTER_US = 7_200_000_000
+_LATE_ALLOWED_US = 1_800_000_000
+
+
+@_q(
+    "events_late_data_flag",
+    f"""
+    WITH a AS (
+      SELECT event_id, event_type, ts,
+             epoch_us(ts) + (event_id * 2654435761) % {_LATE_JITTER_US}
+               - {_LATE_JITTER_US // 2} AS seq
+      FROM events),
+    b AS (
+      SELECT *,
+             max(ts) OVER (PARTITION BY event_type ORDER BY seq, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS wm
+      FROM a)
+    SELECT event_id, event_type,
+           (wm IS NOT NULL AND epoch_us(ts) < epoch_us(wm) - {_LATE_ALLOWED_US})
+             AS late,
+           CAST(CASE WHEN wm IS NOT NULL
+                      AND epoch_us(ts) < epoch_us(wm) - {_LATE_ALLOWED_US}
+                     THEN epoch_us(wm) - epoch_us(ts) ELSE 0 END AS BIGINT)
+             AS lateness_us
+    FROM b ORDER BY event_id
+    """,
+)
+def events_late_data_flag(spark, sf):
+    """Watermark late-data accounting — Structured Streaming's
+    ``withWatermark`` semantics replayed as a batch kernel so the decision
+    is oracle-checkable: events arrive in event-time order perturbed by a
+    deterministic ±1 h jitter (arrival ``seq`` = epoch µs + a Knuth-hash
+    offset of event_id — the out-of-orderness real pipelines see), the
+    per-key watermark is the running max event time over ARRIVAL order,
+    and an event is late when it arrives more than 30 min behind it.
+    ``streaming/stream.py`` applies the same policy with a real watermark;
+    this operator is the exact-arithmetic ground truth for it.
+
+    Scale shape: one window over (event_type) in arrival order — a single
+    hash shuffle + per-partition sort, the same cost as the sessionizer;
+    the lateness column is integer µs so the compare is bit-stable."""
+    ev = load(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    a = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        (
+            us
+            + (F.col("event_id") * 2654435761) % _LATE_JITTER_US
+            - _LATE_JITTER_US // 2
+        ).alias("seq"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("seq", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wm_us = F.unix_micros(F.max("ts").over(w).cast("timestamp"))
+    late = wm_us.isNotNull() & (us < wm_us - _LATE_ALLOWED_US)
+    return (
+        a.select(
+            "event_id",
+            "event_type",
+            late.alias("late"),
+            F.when(late, wm_us - us).otherwise(F.lit(0)).cast("long")
+            .alias("lateness_us"),
+        )
+        .orderBy("event_id")
+    )

@@ -903,3 +903,161 @@ def frontier_redirect_resolve(spark, sf):
         ORDER BY doc_id
         """
     )
+
+
+_WARC_FILES = 8  # records round-robin into this many warc shards
+
+
+@_q(
+    "frontier_warc_cdx_index",
+    f"""
+    WITH r AS (
+      SELECT 'crawl-' || CAST(doc_id % {_WARC_FILES} AS VARCHAR)
+               || '.warc.gz' AS warc_file,
+             doc_id,
+             CAST(800 + (doc_id * 97) % 4000 AS BIGINT) AS record_len
+      FROM documents)
+    SELECT warc_file, doc_id,
+           CAST(COALESCE(SUM(record_len) OVER (
+                  PARTITION BY warc_file ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS "offset",
+           record_len,
+           CAST(SUM(record_len) OVER (PARTITION BY warc_file) AS BIGINT)
+             AS file_bytes
+    FROM r ORDER BY warc_file, doc_id
+    """,
+)
+def frontier_warc_cdx_index(spark, sf):
+    """CDX offset index over WARC shards — Common Crawl's random-access
+    index build: every archived record's (file, byte offset, length) so a
+    downstream reader can range-request one page without scanning the
+    shard.  Record lengths and the file assignment are synthesized
+    deterministically from doc_id (round-robin into {_WARC_FILES} shards,
+    the concatenation order inside a shard is doc_id order — exactly how
+    a sharded WARC writer lays records down).
+
+    The offset is a per-file running sum over the preceding records — the
+    same distributed-prefix-sum kernel as ``docs_pack_sequences``, applied
+    to the byte axis; ``file_bytes`` (the full-partition sum) rides the
+    same shuffle and gives the reconciliation invariant
+    ``last offset + len = file_bytes``.
+
+    Scale shape: one hash shuffle on warc_file + a per-partition sort;
+    at 10^10 records the file count grows with the corpus so partitions
+    stay bounded, and a writer that tracks offsets at write time emits
+    this index for free — the operator is the backfill/repair path."""
+    d = load(spark, sf, "documents").select("doc_id")
+    r = d.select(
+        F.concat(
+            F.lit("crawl-"),
+            (F.col("doc_id") % _WARC_FILES).cast("string"),
+            F.lit(".warc.gz"),
+        ).alias("warc_file"),
+        "doc_id",
+        (800 + (F.col("doc_id") * 97) % 4000).cast("long").alias("record_len"),
+    )
+    w_prev = (
+        Window.partitionBy("warc_file")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("warc_file")
+    return (
+        r.select(
+            "warc_file",
+            "doc_id",
+            F.coalesce(F.sum("record_len").over(w_prev), F.lit(0))
+            .cast("long")
+            .alias("offset"),
+            "record_len",
+            F.sum("record_len").over(w_all).cast("long").alias("file_bytes"),
+        )
+        .orderBy("warc_file", "doc_id")
+    )
+
+
+# Meta-robots synth variants: kind = doc_id % 4.  Kind 1 is uppercase ON
+# PURPOSE — the extractor must be case-insensitive like real crawlers.
+_META_ROBOTS_SYNTH = [
+    '<meta name="robots" content="noindex,nofollow">',
+    '<META NAME="robots" CONTENT="NOINDEX">',
+    '<meta name="robots" content="index,follow">',
+    "",
+]
+
+
+@_q(
+    "frontier_meta_robots_gate",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             '<html><head><title>d' || CAST(doc_id AS VARCHAR) || '</title>'
+               || (CASE doc_id % 4
+                     WHEN 0 THEN '{_META_ROBOTS_SYNTH[0]}'
+                     WHEN 1 THEN '{_META_ROBOTS_SYNTH[1]}'
+                     WHEN 2 THEN '{_META_ROBOTS_SYNTH[2]}'
+                     ELSE '' END)
+               || '</head><body></body></html>' AS html
+      FROM documents),
+    x AS (
+      SELECT doc_id,
+             lower(regexp_extract(html,
+               '(?i)<meta\\s+name="robots"\\s+content="([^"]*)"', 1))
+               AS robots_content
+      FROM h)
+    SELECT doc_id, robots_content,
+           NOT contains(robots_content, 'noindex') AS index_allowed,
+           NOT contains(robots_content, 'nofollow') AS follow_links
+    FROM x ORDER BY doc_id
+    """,
+)
+def frontier_meta_robots_gate(spark, sf):
+    """Meta-robots admission gate — the page-level robots directive that
+    robots.txt cannot express (``frontier_robots_eval`` handles the host
+    level): parse ``<meta name="robots" content="...">`` out of the html
+    head, case-insensitively, and derive the two crawl decisions —
+    ``index_allowed`` (may this page enter the results/index?) and
+    ``follow_links`` (may its outlinks enter the frontier?).  A crawler
+    that ignores nofollow pollutes the frontier with pages it then cannot
+    use; the reference's SERP/place dispatch assumes Google's pages are
+    indexable, so this gate is what generalizing to the open web adds.
+
+    The html head is synthesized deterministically (four variants by
+    doc_id % 4, one deliberately uppercase so the (?i) extraction is
+    load-bearing); the extraction regex and the directive logic are the
+    operator under test, and both engines run the identical expressions.
+
+    Scale shape: pure JVM regexp + string ops inside one codegen'd scan
+    stage over the page table — no shuffle (the ORDER BY is the catalog's
+    presentation sort); at 100 TB this runs inside the fetch round's
+    pages scan exactly like the email harvest does."""
+    d = load(spark, sf, "documents").select("doc_id")
+    meta = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(_META_ROBOTS_SYNTH[0]))
+        .when(F.col("doc_id") % 4 == 1, F.lit(_META_ROBOTS_SYNTH[1]))
+        .when(F.col("doc_id") % 4 == 2, F.lit(_META_ROBOTS_SYNTH[2]))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head><title>d"),
+        F.col("doc_id").cast("string"),
+        F.lit("</title>"),
+        meta,
+        F.lit("</head><body></body></html>"),
+    )
+    content = F.lower(
+        F.regexp_extract(
+            html, r'(?i)<meta\s+name="robots"\s+content="([^"]*)"', 1
+        )
+    )
+    return (
+        d.select("doc_id", content.alias("robots_content"))
+        .select(
+            "doc_id",
+            "robots_content",
+            (~F.col("robots_content").contains("noindex")).alias("index_allowed"),
+            (~F.col("robots_content").contains("nofollow")).alias("follow_links"),
+        )
+        .orderBy("doc_id")
+    )
