@@ -2792,3 +2792,57 @@ def events_late_data_flag(spark, sf):
         )
         .orderBy("event_id")
     )
+
+
+# Burst detection: trailing 6 h RANGE frame, flag counts >= 4 (calibrated to
+# the testdata event density so flags exist at sf0.001 and sf0.01 without
+# flagging everything).
+_BURST_W_US = 21_600_000_000
+_BURST_K = 4
+
+
+@_q(
+    "events_burst_detect",
+    f"""
+    WITH a AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    b AS (
+      SELECT *, CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN {_BURST_W_US} PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_in_window
+      FROM a)
+    SELECT event_id, user_id, n_in_window
+    FROM b WHERE n_in_window >= {_BURST_K} ORDER BY event_id
+    """,
+)
+def events_burst_detect(spark, sf):
+    """Burst/bot detection over a TRAILING RANGE frame — for every event,
+    how many of the same user's events fall in the preceding 6 h of EVENT
+    TIME (not row count: gaps matter), flagging events that close a burst
+    of ≥{_BURST_K}.  This is the crawl-operations "aggressive client /
+    runaway scheduler" detector, and deliberately a different kernel from
+    ``events_range_join_6h`` (a range JOIN between two event sets) and
+    ``events_sliding_window_rates`` (fixed tumbling panes): a value-RANGE
+    window frame slides per row, which Spark evaluates in one pass over
+    each sorted partition with a moving frame head — no self-join, no
+    pane explosion.
+
+    Scale shape: one hash shuffle on user_id + per-partition sort; the
+    frame bound is integer µs so the flag decision is bit-exact.  Skewed
+    hot users are bounded by the frame (the window only ever holds 6 h of
+    one user's events), and AQE splits oversized partitions."""
+    ev = load(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    a = ev.select("user_id", "event_id", us.alias("us"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_BURST_W_US, 0)
+    )
+    return (
+        a.withColumn("n_in_window", F.count(F.lit(1)).over(w).cast("long"))
+        .filter(F.col("n_in_window") >= _BURST_K)
+        .select("event_id", "user_id", "n_in_window")
+        .orderBy("event_id")
+    )

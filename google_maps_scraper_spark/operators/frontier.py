@@ -1061,3 +1061,78 @@ def frontier_meta_robots_gate(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+_IP24_BUCKETS = 64   # synthesized /24 networks
+_IP_BUDGET = 60      # fetches/min an origin SERVER tolerates (shared!)
+
+
+@_q(
+    "frontier_ip_politeness_group",
+    f"""
+    WITH raw AS (SELECT doc_id, {_HOST_RAW_SQL} AS host FROM documents),
+    e AS (SELECT doc_id, host, {_ETLD1_SQL} AS etld1 FROM raw),
+    ip AS (
+      SELECT doc_id, etld1,
+             '10.0.' || CAST(
+               CAST(list_sum(list_transform(range(0, 8), i ->
+                 CAST(instr('0123456789abcdef',
+                            substring(md5(etld1), i + 1, 1)) - 1 AS BIGINT)
+                   << (4 * (7 - i)))) AS BIGINT) % {_IP24_BUCKETS}
+               AS VARCHAR) AS ip24
+      FROM e)
+    SELECT ip24,
+           CAST(COUNT(DISTINCT etld1) AS BIGINT) AS n_hosts,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           COUNT(DISTINCT etld1) > 1 AS colocated,
+           CAST(GREATEST(1, {_IP_BUDGET} // COUNT(DISTINCT etld1)) AS BIGINT)
+             AS per_host_budget
+    FROM ip GROUP BY ip24 ORDER BY ip24
+    """,
+)
+def frontier_ip_politeness_group(spark, sf):
+    """IP-colocation politeness grouping — the budget level BELOW eTLD+1:
+    virtual hosting puts many registrable domains on one origin server, so
+    a crawler that is polite per-domain can still hammer one /24.  Hosts
+    resolve (synthetically: md5-fold of the eTLD+1 into {_IP24_BUCKETS}
+    /24 networks — the same fold the politeness buckets use, so both
+    engines derive identical groups) and the per-IP rollup reports the
+    colocation degree and the per-host share of the server budget
+    ({_IP_BUDGET} // n_hosts, floored at 1) — the number the fetch-slot
+    scheduler (``frontier_fetch_slot_schedule``) would consume instead of
+    the flat per-host budget when colocation is detected.
+
+    Scale shape: key derivation is scan-stage regex/arithmetic; the rollup
+    is one groupBy on {_IP24_BUCKETS} keys whose exact COUNT(DISTINCT)
+    Spark expands to a two-stage partial aggregate (dedup on (ip24, etld1)
+    map-side first) — no row explosion, no Python.  At real scale ip24
+    comes from a resolver-log join instead of a hash, same plan."""
+    d = load(spark, sf, "documents")
+    e = d.select("doc_id", F.expr(_HOST_RAW_SQL).alias("host")).withColumn(
+        "etld1", F.expr(_ETLD1_SQL)
+    )
+    ip24 = F.concat(
+        F.lit("10.0."),
+        (
+            F.conv(F.substring(F.md5("etld1"), 1, 8), 16, 10).cast("long")
+            % _IP24_BUCKETS
+        ).cast("string"),
+    )
+    return (
+        e.select(ip24.alias("ip24"), "etld1")
+        .groupBy("ip24")
+        .agg(
+            F.countDistinct("etld1").cast("long").alias("n_hosts"),
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+        )
+        .select(
+            "ip24",
+            "n_hosts",
+            "n_urls",
+            (F.col("n_hosts") > 1).alias("colocated"),
+            F.greatest(
+                F.lit(1), F.expr(f"{_IP_BUDGET} div n_hosts")
+            ).cast("long").alias("per_host_budget"),
+        )
+        .orderBy("ip24")
+    )
