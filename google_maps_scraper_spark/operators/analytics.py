@@ -2846,3 +2846,136 @@ def events_burst_detect(spark, sf):
         .select("event_id", "user_id", "n_in_window")
         .orderBy("event_id")
     )
+
+
+_TRIGRAM_TOPK = 5
+
+
+@_q(
+    "docs_char_trigram_lang_profile",
+    f"""
+    WITH g AS (
+      SELECT lang, substring(lower(text), CAST(j AS INT), 3) AS tri
+      FROM (
+        SELECT lang, lower(text) AS text,
+               unnest(range(1, greatest(length(text) - 2, 0) + 1)) AS j
+        FROM documents)),
+    c AS (
+      SELECT lang, tri, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM g GROUP BY lang, tri),
+    r AS (
+      SELECT lang, tri, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, tri ASC) AS rk
+      FROM c)
+    SELECT lang, tri, cnt, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= {_TRIGRAM_TOPK} ORDER BY lang, rk
+    """,
+)
+def docs_char_trigram_lang_profile(spark, sf):
+    """Character-trigram language profiles — the actual langid kernel
+    (Cavnar & Trenkle's n-gram-of-characters ranking, what fastText/CLD
+    distill): per language, the top-{_TRIGRAM_TOPK} most frequent char
+    trigrams with deterministic tie-breaks.  ``docs_lang_id`` consumes a
+    fixed English profile; this operator is the TRAINING side that builds
+    profiles from a labeled corpus.
+
+    Scale shape: the position explode (one row per char offset) looks
+    expensive but the (lang, trigram) groupBy partial-aggregates INSIDE
+    the generate stage — what crosses the wire is the per-partition
+    distinct profile (bounded by the trigram vocabulary, ~50k for web
+    text), not the corpus; the rank window then runs on |langs|·|vocab|
+    rows.  Same shape as ``docs_vocab_topk`` one level below words."""
+    d = load(spark, sf, "documents")
+    g = d.select(
+        "lang",
+        F.lower("text").alias("t"),
+    ).select(
+        "lang",
+        F.expr("explode(sequence(1, greatest(length(t) - 2, 0)))").alias("j"),
+        "t",
+    ).select("lang", F.expr("substring(t, j, 3)").alias("tri"))
+    c = g.groupBy("lang", "tri").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("tri").asc())
+    return (
+        c.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _TRIGRAM_TOPK)
+        .select("lang", "tri", "cnt", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+def _ahash_px_duck() -> str:
+    m = "md5('ahash-v1:' || doc_id || ':' || (i // 16))"
+    v1 = f"(instr('0123456789abcdef', substring({m}, (i % 16)*2 + 1, 1)) - 1)"
+    v2 = f"(instr('0123456789abcdef', substring({m}, (i % 16)*2 + 2, 1)) - 1)"
+    return f"list_transform(range(0, 64), i -> CAST({v1} * 16 + {v2} AS BIGINT))"
+
+
+@_q(
+    "multimodal_image_ahash",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_ahash_px_duck()} AS px FROM documents),
+    t AS (
+      SELECT doc_id, px, CAST(list_sum(px) AS BIGINT) AS total FROM p)
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 32), i ->
+             CASE WHEN px[i + 1] * 64 > total
+                  THEN CAST(1 AS BIGINT) << CAST(31 - i AS INT)
+                  ELSE 0 END)) AS BIGINT) AS ahash_hi,
+           CAST(list_sum(list_transform(range(32, 64), i ->
+             CASE WHEN px[i + 1] * 64 > total
+                  THEN CAST(1 AS BIGINT) << CAST(63 - i AS INT)
+                  ELSE 0 END)) AS BIGINT) AS ahash_lo,
+           CAST(list_sum(list_transform(range(0, 64), i ->
+             CASE WHEN px[i + 1] * 64 > total THEN 1 ELSE 0 END)) AS BIGINT)
+             AS n_set
+    FROM t ORDER BY doc_id
+    """,
+)
+def multimodal_image_ahash(spark, sf):
+    """Perceptual average-hash (aHash) over an 8×8 grayscale thumbnail —
+    the classic image near-dup fingerprint (pHash's cheaper sibling): a
+    bit per pixel, set when the pixel exceeds the image mean; two hashes
+    at small Hamming distance are visual near-duplicates, and the
+    LSH-banding machinery of ``emb_lsh_neardup_pairs`` applies to these
+    64-bit codes unchanged.  The thumbnail is synthesized deterministically
+    (md5 bytes of doc_id — a real pipeline's resize/grayscale UDF lands in
+    exactly this integer column shape), and the mean threshold is
+    cross-multiplied (``pixel·64 > total``) so no division crosses an
+    engine boundary.  The hash is split hi/lo 32-bit halves so every value
+    stays positive BIGINT (bit 63 of a packed int64 would need unsigned).
+
+    Scale shape: pure higher-order-function arithmetic (transform /
+    aggregate over a 64-element array) inside the scan stage — no UDF, no
+    shuffle; at 10^10 images the decode UDF feeding the pixel array is the
+    only Python, exactly like ``multimodal_image_dims``."""
+    d = load(spark, sf, "documents").select("doc_id")
+    px = (
+        "transform(sequence(0, 63), i -> CAST(conv(substring("
+        "md5(concat('ahash-v1:', CAST(doc_id AS STRING), ':', "
+        "CAST(i div 16 AS STRING))), (i % 16)*2 + 1, 2), 16, 10) AS BIGINT))"
+    )
+    t = d.select(
+        "doc_id", F.expr(px).alias("px")
+    ).withColumn(
+        "total", F.expr("aggregate(px, CAST(0 AS BIGINT), (a, x) -> a + x)")
+    )
+    bits = (
+        "aggregate(sequence({lo}, {hi}), CAST(0 AS BIGINT), (acc, i) -> "
+        "acc + IF(element_at(px, i + 1) * 64 > total, "
+        "shiftleft(CAST(1 AS BIGINT), {top} - i), CAST(0 AS BIGINT)))"
+    )
+    return (
+        t.select(
+            "doc_id",
+            F.expr(bits.format(lo=0, hi=31, top=31)).alias("ahash_hi"),
+            F.expr(bits.format(lo=32, hi=63, top=63)).alias("ahash_lo"),
+            F.expr(
+                "aggregate(px, CAST(0 AS BIGINT), (a, x) -> "
+                "a + IF(x * 64 > total, CAST(1 AS BIGINT), CAST(0 AS BIGINT)))"
+            ).alias("n_set"),
+        )
+        .orderBy("doc_id")
+    )

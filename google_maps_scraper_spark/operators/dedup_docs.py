@@ -746,3 +746,147 @@ def docs_dedup_keep_canonical(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- incremental (snapshot-over-snapshot) Bloom dedup -----------------------
+
+_IBLOOM_BITS = 1024
+_IBLOOM_K = 3
+_IBLOOM_WORD = 32
+
+
+def _ibloom_oracle() -> str:
+    fold = (
+        "CAST(list_sum(list_transform(range(0, 8), i -> "
+        "CAST(instr('0123456789abcdef', "
+        "substring(md5('ibloom-v1:' || j.j || ':' || text), i + 1, 1)) - 1 "
+        "AS BIGINT) << (4 * (7 - i)))) AS BIGINT)"
+    )
+    ks = ", ".join(f"({j})" for j in range(_IBLOOM_K))
+    return f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    old AS (SELECT doc_id, text FROM documents CROSS JOIN n
+            WHERE doc_id * 2 < n.n),
+    new AS (SELECT doc_id, text FROM documents CROSS JOIN n
+            WHERE doc_id * 2 >= n.n),
+    ob AS (
+      SELECT h // {_IBLOOM_WORD} AS word_idx,
+             CAST(bit_or(CAST(1 AS BIGINT)
+                         << CAST(h % {_IBLOOM_WORD} AS INT)) AS BIGINT) AS bits
+      FROM (SELECT {fold} % {_IBLOOM_BITS} AS h
+            FROM old CROSS JOIN (VALUES {ks}) AS j(j))
+      GROUP BY 1),
+    probe AS (
+      SELECT doc_id, {fold} % {_IBLOOM_BITS} AS h
+      FROM new CROSS JOIN (VALUES {ks}) AS j(j)),
+    hit AS (
+      SELECT p.doc_id,
+             bool_and(COALESCE(ob.bits
+                        & (CAST(1 AS BIGINT)
+                           << CAST(p.h % {_IBLOOM_WORD} AS INT)), 0) <> 0)
+               AS bloom_hit
+      FROM probe p LEFT JOIN ob ON ob.word_idx = p.h // {_IBLOOM_WORD}
+      GROUP BY p.doc_id),
+    ex AS (
+      SELECT DISTINCT nw.doc_id
+      FROM new nw JOIN old o ON o.text = nw.text)
+    SELECT h.doc_id AS doc_id, h.bloom_hit AS bloom_hit,
+           ex.doc_id IS NOT NULL AS exact_dup,
+           (h.bloom_hit AND ex.doc_id IS NULL) AS false_positive
+    FROM hit h LEFT JOIN ex ON ex.doc_id = h.doc_id
+    ORDER BY doc_id
+    """
+
+
+@_register("docs_incremental_bloom_dedup", _ibloom_oracle())
+def docs_incremental_bloom_dedup(spark, sf):
+    """Incremental (daily-ingest) dedup via a prior-snapshot Bloom filter —
+    the shape a 100-TB pipeline actually runs: yesterday's corpus is too
+    big to join against raw, so its content fingerprints live in a Bloom
+    sketch (built once, shipped to every executor) and only the PROBE-HIT
+    slice of today's batch pays the exact verification join.  The corpus
+    splits deterministically (doc_id·2 < N as the prior snapshot, N a
+    scalar subquery); every new document reports its bloom verdict, its
+    EXACT verdict, and the false-positive flag — surfacing the sketch's
+    error rate instead of silently inheriting it (the same
+    flagged-fallback discipline as ``emb_lsh_ann_topk``).
+
+    Scale shape: the build is the ``seen_bloom_build`` bounded shuffle
+    (≤ m/{_IBLOOM_WORD} rows per partition cross the wire); the probe
+    explodes k={_IBLOOM_K} positions per new doc and joins the (tiny,
+    broadcast) word table; the exact join — the expensive part — is what
+    the Bloom EXISTS to bound, and here it runs over all new docs only so
+    the oracle can certify both verdicts independently (production
+    filters on bloom_hit first; the plan is identical minus the filter).
+    ≙ deduper/hasher.go + plans/crawl.py's broadcast Bloom admission."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    d.createOrReplaceTempView("gms_ibloom_docs")
+    spark.sql(
+        "SELECT doc_id, text FROM gms_ibloom_docs "
+        "WHERE doc_id * 2 < (SELECT COUNT(*) FROM gms_ibloom_docs)"
+    ).createOrReplaceTempView("gms_ibloom_old")
+    spark.sql(
+        "SELECT doc_id, text FROM gms_ibloom_docs "
+        "WHERE doc_id * 2 >= (SELECT COUNT(*) FROM gms_ibloom_docs)"
+    ).createOrReplaceTempView("gms_ibloom_new")
+    pos = lambda j: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"ibloom-v1:{j}:"), F.col("text"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _IBLOOM_BITS
+    )
+    old = spark.table("gms_ibloom_old")
+    new = spark.table("gms_ibloom_new")
+    ob = (
+        old.select(F.explode(F.array(*[pos(j) for j in range(_IBLOOM_K)])).alias("h"))
+        .select(
+            F.expr(f"h div {_IBLOOM_WORD}").alias("word_idx"),
+            F.expr(f"CAST(h % {_IBLOOM_WORD} AS INT)").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("bits"))
+    )
+    probe = new.select(
+        "doc_id", F.explode(F.array(*[pos(j) for j in range(_IBLOOM_K)])).alias("h")
+    )
+    hit = (
+        probe.join(
+            F.broadcast(ob),
+            F.expr(f"h div {_IBLOOM_WORD}") == ob.word_idx,
+            "left",
+        )
+        .select(
+            "doc_id",
+            (
+                F.coalesce(
+                    F.expr(
+                        f"bits & shiftleft(CAST(1 AS BIGINT), "
+                        f"CAST(h % {_IBLOOM_WORD} AS INT))"
+                    ),
+                    F.lit(0),
+                )
+                != 0
+            ).alias("one_hit"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("one_hit").alias("bloom_hit"))
+    )
+    ex = new.join(old.select("text"), "text", "left_semi").select(
+        "doc_id", F.lit(True).alias("exact_dup_")
+    )
+    return (
+        hit.join(ex, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce("exact_dup_", F.lit(False)).alias("exact_dup"),
+            (F.col("bloom_hit") & F.coalesce("exact_dup_", F.lit(False)).eqNullSafe(False)).alias(
+                "false_positive"
+            ),
+        )
+        .orderBy("doc_id")
+    )
