@@ -2979,3 +2979,526 @@ def multimodal_image_ahash(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+_HLLM_P = 8                    # 2^8 = 256 registers (shared with the builder)
+_HLLM_M = 1 << _HLLM_P
+_HLLM_W = 20                   # suffix bits (28-bit hash − 8 bucket bits)
+# floor(1000 · α_256) with α_m = 0.7213 / (1 + 1.079/m) — the standard HLL
+# bias constant (Flajolet et al. 2007, Fig. 3).
+_HLLM_ALPHA_MILLI = 718
+# α·m²·2^W as one exact BIGINT: 718 · 2^16 · 2^20 · … kept ÷1000 at use site.
+_HLLM_NUMER = _HLLM_ALPHA_MILLI * _HLLM_M * _HLLM_M * (1 << _HLLM_W)
+
+_HLLM_FOLD = (
+    "CAST(list_sum(list_transform(range(0, 7), i -> "
+    "CAST(instr('0123456789abcdef', "
+    "substring(md5('hllm-v1:' || user_id), i + 1, 1)) - 1 "
+    "AS BIGINT) << (4 * (6 - i)))) AS BIGINT)"
+)
+
+
+@_q(
+    "events_hll_merge_estimate",
+    f"""
+    WITH h AS (SELECT event_type, {_HLLM_FOLD} AS h FROM events),
+    p AS (
+      SELECT event_type, h % {_HLLM_M} AS bucket, h // {_HLLM_M} AS rest
+      FROM h),
+    r AS (
+      SELECT event_type, bucket,
+             MAX(CASE WHEN rest = 0 THEN {_HLLM_W + 1}
+                      ELSE {_HLLM_W + 1} - length(bin(rest)) END) AS reg
+      FROM p GROUP BY 1, 2),
+    rall AS (
+      SELECT 'ALL' AS event_type, bucket, MAX(reg) AS reg FROM r GROUP BY 2),
+    u AS (SELECT * FROM r UNION ALL SELECT * FROM rall),
+    s AS (
+      SELECT event_type,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST({_HLLM_W + 1} - reg AS INT))
+                  + ({_HLLM_M} - COUNT(*)) * {1 << (_HLLM_W + 1)}
+                  AS BIGINT) AS s2,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets_set
+      FROM u GROUP BY 1),
+    ex AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events GROUP BY 1
+      UNION ALL
+      SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events),
+    est AS (
+      SELECT s.event_type,
+             CAST({2 * _HLLM_NUMER} // (1000 * s.s2) AS BIGINT) AS est,
+             ex.exact_users, s.n_buckets_set
+      FROM s JOIN ex USING (event_type))
+    SELECT event_type, est, exact_users,
+           CAST(abs(est - exact_users) * 1000 // exact_users AS BIGINT)
+             AS err_permille,
+           n_buckets_set
+    FROM est ORDER BY event_type
+    """,
+)
+def events_hll_merge_estimate(spark, sf):
+    f"""HLL register MERGE + integer cardinality estimate — the half of the
+    sketch story ``events_hll_registers`` leaves on the table.  Per-type
+    register vectors (p={_HLLM_P}, 28-bit hash) are united into an 'ALL'
+    sketch by a bucket-wise MAX — the algebraic property that makes HLL the
+    distinct-counter of choice at 10^10 keys: per-day/per-host sketches
+    merge without rescanning, unlike COUNT(DISTINCT).  The raw estimator
+    α·m²/Σ2^-M_j is evaluated in EXACT integer arithmetic: Σ2^-M is a
+    dyadic rational, so its 2^(W+1)-scaled sum is a BIGINT (empty buckets
+    contribute 2^(W+1)), α is milli-scaled, and one integer division yields
+    the estimate both engines reproduce bit-for-bit — no float, no
+    engine-rounding hazard.  ``exact_users`` and ``err_permille`` ride
+    along so the oracle pins the sketch's real accuracy (at n/m ≈ 4 the
+    raw estimator sits in its known biased-high regime below 2.5m, where
+    production HLLs switch to linear counting — reported, not hidden).
+
+    Scale shape: MAX partial-aggregates map-side, so per input partition at
+    most m=256 rows per event_type cross the wire; the merge is a second
+    256-row-bounded groupBy; only the audit columns' COUNT(DISTINCT) is
+    O(keys), and they exist purely to measure the sketch they'd be deleted
+    in favor of at 100 TB."""
+    e = load(spark, sf, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hllm-v1:"), F.col("user_id").cast("string"))),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("long")
+    p = e.select(
+        "event_type",
+        (h % _HLLM_M).cast("long").alias("bucket"),
+        F.expr(f"CAST(conv(substring(md5(concat('hllm-v1:', "
+               f"CAST(user_id AS STRING))), 1, 7), 16, 10) AS BIGINT) "
+               f"div {_HLLM_M}").alias("rest"),
+    )
+    r = (
+        p.select(
+            "event_type",
+            "bucket",
+            F.when(F.col("rest") == 0, F.lit(_HLLM_W + 1))
+            .otherwise(F.lit(_HLLM_W + 1) - F.length(F.bin("rest")))
+            .alias("rank"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rank").cast("long").alias("reg"))
+    )
+    rall = (
+        r.groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+        .select(F.lit("ALL").alias("event_type"), "bucket", "reg")
+    )
+    u = r.unionByName(rall)
+    s = u.groupBy("event_type").agg(
+        (
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST({_HLLM_W + 1} - reg AS INT))"
+                )
+            )
+            + (F.lit(_HLLM_M) - F.count(F.lit(1))) * F.lit(1 << (_HLLM_W + 1))
+        ).cast("long").alias("s2"),
+        F.count(F.lit(1)).alias("n_buckets_set"),
+    )
+    ex = (
+        e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+        .unionByName(
+            e.agg(
+                F.countDistinct("user_id").cast("long").alias("exact_users")
+            ).select(F.lit("ALL").alias("event_type"), "exact_users")
+        )
+    )
+    est = F.expr(f"CAST({2 * _HLLM_NUMER} div (1000 * s2) AS BIGINT)")
+    return (
+        s.join(ex, "event_type")
+        .select(
+            "event_type",
+            est.alias("est"),
+            "exact_users",
+            F.expr(
+                f"CAST(abs(CAST({2 * _HLLM_NUMER} div (1000 * s2) AS BIGINT)"
+                f" - exact_users) * 1000 div exact_users AS BIGINT)"
+            ).alias("err_permille"),
+            "n_buckets_set",
+        )
+        .orderBy("event_type")
+    )
+
+
+_POSTINGS_HEAD = 16
+
+
+@_q(
+    "docs_inverted_index_postings",
+    f"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+      FROM documents),
+    tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+    g AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tt GROUP BY 1, 2),
+    a AS (
+      SELECT term,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(c) AS BIGINT) AS cf,
+             array_to_string(
+               list_slice(list(doc_id ORDER BY doc_id), 1, {_POSTINGS_HEAD}),
+               '|') AS postings_head
+      FROM g GROUP BY 1)
+    SELECT term, df, cf, postings_head FROM a ORDER BY term
+    """,
+)
+def docs_inverted_index_postings(spark, sf):
+    f"""Inverted-index build — the search-engine core an analytics stack
+    bolts onto a crawl corpus (and the data structure behind BM25 serving):
+    per term, document frequency, collection frequency, and the head of
+    the doc-id-sorted posting list.  Exposing only the first
+    {_POSTINGS_HEAD} postings keeps the OUTPUT row bounded; the full list
+    is what a real index writer streams into per-term segment blocks.
+
+    Scale shape: tokenize in the scan stage, then two groupBys — the first
+    on (term, doc_id) collapses within-doc repeats map-side (its shuffle
+    is the distinct postings volume, the index's own size, irreducible for
+    this product), the second on term is bounded by vocabulary × df.  At
+    10^10 docs the term key is Zipf-skewed; the (term, doc_id) pre-combine
+    is exactly the salt that keeps 'the''s reducer from receiving one row
+    per OCCURRENCE — it receives one per document, and a production writer
+    range-shards each mega-term's postings by doc_id block, same as the
+    banding trick in ``docs_minhash_pairs``."""
+    d = load(spark, sf, "documents")
+    tt = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    g = tt.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        g.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("c").cast("long").alias("cf"),
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        F.sort_array(F.collect_list("doc_id")),
+                        1,
+                        _POSTINGS_HEAD,
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                "|",
+            ).alias("postings_head"),
+        )
+        .select("term", "df", "cf", "postings_head")
+        .orderBy("term")
+    )
+
+
+_TAXONOMY = {
+    "planner": ("query", "filter", "sort", "key"),
+    "relational": ("join", "merge", "hash", "agg"),
+    "storage": ("table", "scan", "column", "row"),
+    "streaming": ("stream", "window", "batch", "watermark"),
+}
+_TOPIC_MIN_HITS = 3
+
+
+def _topic_counts_duck() -> str:
+    cols = []
+    for topic, kws in _TAXONOMY.items():
+        inlist = ", ".join(f"'{k}'" for k in kws)
+        cols.append(
+            f"CAST(len(list_filter(words, w -> w IN ({inlist}))) AS BIGINT)"
+            f" AS c_{topic}"
+        )
+    return ", ".join(cols)
+
+
+@_q(
+    "docs_taxonomy_topic_assign",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+      FROM documents),
+    c AS (SELECT doc_id, {_topic_counts_duck()} FROM w),
+    t AS (
+      SELECT doc_id,
+             concat_ws('|',
+               CASE WHEN c_planner >= {_TOPIC_MIN_HITS} THEN 'planner' END,
+               CASE WHEN c_relational >= {_TOPIC_MIN_HITS} THEN 'relational' END,
+               CASE WHEN c_storage >= {_TOPIC_MIN_HITS} THEN 'storage' END,
+               CASE WHEN c_streaming >= {_TOPIC_MIN_HITS} THEN 'streaming' END
+             ) AS topics,
+             CAST((c_planner >= {_TOPIC_MIN_HITS})::INT
+                  + (c_relational >= {_TOPIC_MIN_HITS})::INT
+                  + (c_storage >= {_TOPIC_MIN_HITS})::INT
+                  + (c_streaming >= {_TOPIC_MIN_HITS})::INT AS BIGINT)
+               AS n_topics,
+             greatest(c_planner, c_relational, c_storage, c_streaming)
+               AS top_hits,
+             c_planner, c_relational, c_storage, c_streaming
+      FROM c)
+    SELECT doc_id, topics, n_topics,
+           CASE WHEN top_hits = 0 THEN 'none'
+                WHEN c_planner = top_hits THEN 'planner'
+                WHEN c_relational = top_hits THEN 'relational'
+                WHEN c_storage = top_hits THEN 'storage'
+                ELSE 'streaming' END AS top_topic,
+           CAST(top_hits AS BIGINT) AS top_hits
+    FROM t ORDER BY doc_id
+    """,
+)
+def docs_taxonomy_topic_assign(spark, sf):
+    f"""Keyword-taxonomy topic assignment — the cheap domain classifier a
+    training pipeline runs before the expensive model-based one (FineWeb /
+    DCLM route documents to domain mixes with exactly this
+    keyword-hit-count baseline): per document, occurrence counts against
+    {len(_TAXONOMY)} keyword lists; a topic is assigned at
+    ≥{_TOPIC_MIN_HITS} hits, and the argmax (alphabetical tie-break,
+    'none' when nothing hits) becomes the routing label.
+
+    Scale shape: the taxonomy is a PLAN LITERAL — each topic count is a
+    ``size(filter(tokens, IN-list))`` expression inside the one codegen'd
+    scan stage, so there is no keyword-table join, no explode, no shuffle,
+    and the argmax + tie-break is a CASE cascade in topic-name order.  At
+    a realistic 10^4-keyword taxonomy the IN-lists become a broadcast map
+    + explode-join; at this size inlining is strictly better (same reason
+    ``broadcast_dim_rollup`` broadcasts instead of shuffling)."""
+    d = load(spark, sf, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    sel = [F.col("doc_id"), toks.alias("words")]
+    c = d.select(*sel)
+    for topic, kws in _TAXONOMY.items():
+        c = c.withColumn(
+            f"c_{topic}",
+            F.size(F.filter(F.col("words"), lambda w: w.isin(*kws))).cast(
+                "long"
+            ),
+        )
+    names = list(_TAXONOMY)
+    top_hits = F.greatest(*[F.col(f"c_{t}") for t in names])
+    assigned = [
+        F.when(F.col(f"c_{t}") >= _TOPIC_MIN_HITS, F.lit(t)) for t in names
+    ]
+    top = F.when(top_hits == 0, F.lit("none"))
+    for t in names:
+        top = top.when(F.col(f"c_{t}") == top_hits, F.lit(t))
+    return (
+        c.select(
+            "doc_id",
+            F.concat_ws("|", *assigned).alias("topics"),
+            sum(
+                [
+                    (F.col(f"c_{t}") >= _TOPIC_MIN_HITS).cast("int")
+                    for t in names
+                ],
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_topics"),
+            top.alias("top_topic"),
+            top_hits.cast("long").alias("top_hits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_FUNNEL_LANGS = ("de", "en", "es", "fr")
+_REP_MAX_SHARE = 8  # drop when one token exceeds 1/8 of the words
+
+
+@_q(
+    "docs_quality_funnel",
+    f"""
+    WITH f AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS nw,
+             length(regexp_replace(text, '\\s', '', 'g')) AS sc,
+             len(regexp_extract_all(lower(text), '{_GOPHER_STOP_RE}')) AS st,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             w -> regexp_matches(w, '^[A-Za-z]+$'))) AS aw,
+             list_max(list_transform(
+               list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')),
+               w -> len(list_filter(
+                      regexp_split_to_array(lower(trim(text)), '\\s+'),
+                      x -> x = w)))) AS mr,
+             MIN(doc_id) OVER (
+               PARTITION BY md5(regexp_replace(lower(text), '\\s+', '', 'g'))
+             ) AS fpmin
+      FROM documents),
+    g AS (
+      SELECT lang IN {_FUNNEL_LANGS} AS f1,
+             (nw >= {_GOPHER_MIN_WORDS} AND sc >= 3*nw AND sc <= 10*nw
+              AND st >= 2 AND 5*aw >= 4*nw) AS f2,
+             doc_id = fpmin AS f3,
+             mr * {_REP_MAX_SHARE} <= nw AS f4
+      FROM f),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(COUNT(*) FILTER (f1) AS BIGINT) AS k1,
+             CAST(COUNT(*) FILTER (f1 AND f2) AS BIGINT) AS k2,
+             CAST(COUNT(*) FILTER (f1 AND f2 AND f3) AS BIGINT) AS k3,
+             CAST(COUNT(*) FILTER (f1 AND f2 AND f3 AND f4) AS BIGINT) AS k4
+      FROM g),
+    stages AS (
+      SELECT CAST(1 AS INT) AS stage_idx, 'lang_allowlist' AS stage,
+             n0 AS n_in, k1 AS n_kept FROM a
+      UNION ALL SELECT 2, 'gopher_rules', k1, k2 FROM a
+      UNION ALL SELECT 3, 'exact_dedup', k2, k3 FROM a
+      UNION ALL SELECT 4, 'max_word_rep', k3, k4 FROM a)
+    SELECT stage_idx, stage, n_in, n_kept, n_in - n_kept AS n_dropped
+    FROM stages ORDER BY stage_idx
+    """,
+)
+def docs_quality_funnel(spark, sf):
+    f"""Quality-filter FUNNEL — the curation-report artifact every
+    training-data pipeline publishes (the FineWeb/Dolma ablation table):
+    gates applied in a fixed order, each row reporting survivors in,
+    survivors out, and attrition.  Stages: language allowlist
+    {_FUNNEL_LANGS} → the four Gopher rules (same constants as
+    ``docs_gopher_quality_gate``) → exact dedup (fingerprint survivor =
+    min doc_id, same normalization as ``docs_fingerprint``) → max-word
+    repetition (drop when one token exceeds 1/{_REP_MAX_SHARE} of the
+    document — Gopher §A1.1's repetition family).  A stage with zero
+    attrition on this corpus (exact_dedup: the synthetic texts are
+    unique) reports its zero honestly rather than being dropped from the
+    funnel.
+
+    Scale shape: every flag is computed in ONE scan pass (the repetition
+    max is an O(distinct·n) array expression per row, no explode); the
+    only shuffle is the fingerprint window for the dedup survivor, and
+    the whole funnel reduces to ONE aggregate row (the four cumulative
+    counts partial-aggregate map-side), exploded driver-free into the
+    4-row report.  Counting all four cumulative gates in one aggregate
+    instead of four chained filters is what makes the funnel O(1) actions
+    regardless of stage count."""
+    d = load(spark, sf, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ltoks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    nw = F.size(toks).cast("long")
+    sc = F.length(F.regexp_replace("text", r"\s", "")).cast("long")
+    st = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(_GOPHER_STOP_RE), F.lit(0))
+    ).cast("long")
+    aw = F.size(F.filter(toks, lambda w: w.rlike("^[A-Za-z]+$"))).cast("long")
+    mr = F.array_max(
+        F.transform(
+            F.array_distinct(ltoks),
+            lambda w: F.size(F.filter(ltoks, lambda x: x == w)),
+        )
+    ).cast("long")
+    fp = F.md5(F.regexp_replace(F.lower("text"), r"\s+", ""))
+    wmin = Window.partitionBy(fp)
+    flags = d.select(
+        (F.col("lang").isin(*_FUNNEL_LANGS)).alias("f1"),
+        (
+            (nw >= _GOPHER_MIN_WORDS)
+            & (sc >= 3 * nw)
+            & (sc <= 10 * nw)
+            & (st >= 2)
+            & (5 * aw >= 4 * nw)
+        ).alias("f2"),
+        (F.col("doc_id") == F.min("doc_id").over(wmin)).alias("f3"),
+        (mr * _REP_MAX_SHARE <= nw).alias("f4"),
+    )
+    a = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.count(F.when(F.col("f1"), 1)).cast("long").alias("k1"),
+        F.count(F.when(F.col("f1") & F.col("f2"), 1)).cast("long").alias("k2"),
+        F.count(F.when(F.col("f1") & F.col("f2") & F.col("f3"), 1))
+        .cast("long")
+        .alias("k3"),
+        F.count(
+            F.when(F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4"), 1)
+        )
+        .cast("long")
+        .alias("k4"),
+    )
+    stages = F.array(
+        F.struct(
+            F.lit(1).alias("stage_idx"),
+            F.lit("lang_allowlist").alias("stage"),
+            F.col("n0").alias("n_in"),
+            F.col("k1").alias("n_kept"),
+        ),
+        F.struct(
+            F.lit(2).alias("stage_idx"),
+            F.lit("gopher_rules").alias("stage"),
+            F.col("k1").alias("n_in"),
+            F.col("k2").alias("n_kept"),
+        ),
+        F.struct(
+            F.lit(3).alias("stage_idx"),
+            F.lit("exact_dedup").alias("stage"),
+            F.col("k2").alias("n_in"),
+            F.col("k3").alias("n_kept"),
+        ),
+        F.struct(
+            F.lit(4).alias("stage_idx"),
+            F.lit("max_word_rep").alias("stage"),
+            F.col("k3").alias("n_in"),
+            F.col("k4").alias("n_kept"),
+        ),
+    )
+    return (
+        a.select(F.explode(stages).alias("s"))
+        .select(
+            F.col("s.stage_idx").alias("stage_idx"),
+            F.col("s.stage").alias("stage"),
+            F.col("s.n_in").alias("n_in"),
+            F.col("s.n_kept").alias("n_kept"),
+            (F.col("s.n_in") - F.col("s.n_kept")).alias("n_dropped"),
+        )
+        .orderBy("stage_idx")
+    )
+
+
+@_q(
+    "docs_lang_id_confusion",
+    """
+    WITH p AS (
+      SELECT lang AS lang_true,
+             CASE WHEN len(regexp_extract_all(lower(text),
+                          '\\b(the|and|of|is)\\b')) >= 3
+                  THEN 'en' ELSE lang END AS lang_pred
+      FROM documents)
+    SELECT lang_true, lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           lang_true = lang_pred AS correct
+    FROM p GROUP BY 1, 2 ORDER BY lang_true, lang_pred
+    """,
+)
+def docs_lang_id_confusion(spark, sf):
+    """Language-ID confusion matrix — the evaluation artifact for
+    ``docs_lang_id``'s heuristic against the corpus's declared labels
+    (exactly how fastText-style identifiers are audited before gating a
+    corpus on their output; the off-diagonal (true≠'en', pred='en') rows
+    are the English-function-word false-positive mass).
+
+    Scale shape: the predictor is the same scan-stage regex as
+    ``docs_lang_id``; the matrix is one groupBy bounded by |langs|² rows,
+    partial-aggregated map-side — an O(1)-output audit you can afford to
+    run on every snapshot."""
+    d = load(spark, sf, "documents")
+    en_hits = F.size(
+        F.regexp_extract_all(
+            F.lower("text"), F.lit(r"\b(the|and|of|is)\b"), F.lit(0)
+        )
+    )
+    return (
+        d.select(
+            F.col("lang").alias("lang_true"),
+            F.when(en_hits >= 3, "en").otherwise(F.col("lang")).alias(
+                "lang_pred"
+            ),
+        )
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn("correct", F.col("lang_true") == F.col("lang_pred"))
+        .orderBy("lang_true", "lang_pred")
+    )

@@ -890,3 +890,90 @@ def docs_incremental_bloom_dedup(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+# --- per-source template (boilerplate-shingle) detection ---------------------
+
+_TPL_MIN_DOCS = 2
+
+
+@_register(
+    "docs_source_template_shingles",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct([
+               array_to_string(words[i:i+2], ' ')
+               FOR i IN generate_series(1, greatest(len(words) - 2, 1))
+             ]) AS shingles
+      FROM tok
+    ),
+    ex AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),
+    sdf AS (SELECT source, s, CAST(COUNT(*) AS BIGINT) AS sdf
+            FROM ex GROUP BY 1, 2),
+    tpl AS (SELECT source, s FROM sdf WHERE sdf >= {_TPL_MIN_DOCS}),
+    pd AS (
+      SELECT ex.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(COUNT(tpl.s) AS BIGINT) AS n_template
+      FROM ex LEFT JOIN tpl ON tpl.source = ex.source AND tpl.s = ex.s
+      GROUP BY 1)
+    SELECT doc_id, n_shingles, n_template,
+           CAST(n_template * 1000 // n_shingles AS BIGINT) AS tpl_permille,
+           n_template > 0 AS has_template
+    FROM pd ORDER BY doc_id
+    """,
+)
+def docs_source_template_shingles(spark: SparkSession, sf: str) -> DataFrame:
+    f"""Per-source template-shingle detection — the boilerplate stage that
+    runs BY HOST, not corpus-wide (trafilatura/CCNet drop nav bars and
+    cookie banners by noticing the same fragment on many pages of one
+    site; ``docs_line_dedup`` is the corpus-global cousin).  A 3-gram
+    shingle occurring in ≥{_TPL_MIN_DOCS} distinct documents of the SAME
+    source is template-suspect; each document reports its distinct-shingle
+    count, how many are template, and an integer permille ratio (``div``,
+    no float crosses an engine).
+
+    Scale shape: shingling is scan-stage (reuses ``shingle_tokens``, one
+    array op, shingles pre-distincted per doc so the census groupBy gets
+    one row per (doc, shingle)); the census shuffles on (source, shingle)
+    — host-bounded, so the Zipf-head shingle of a mega-host salts no
+    worse than the host itself, and the politeness machinery's eTLD+1
+    partitioning already handles host skew upstream.  The template set is
+    the tiny head of the per-source df distribution; AQE broadcasts it
+    back onto the shingle stream, so document text never shuffles at all
+    — only (doc_id, shingle-hash) pairs do, and at 100 TB those carry
+    xxhash64(shingle) instead of the text (same trick as
+    ``docs_minhash_pairs``' banding; the string form here keeps the
+    DuckDB oracle exact)."""
+    d = shingle_tokens(load(spark, sf, "documents"))
+    ex = d.select("doc_id", "source", F.explode("shingles").alias("s"))
+    tpl = (
+        ex.groupBy("source", "s")
+        .agg(F.count(F.lit(1)).alias("sdf"))
+        .filter(F.col("sdf") >= _TPL_MIN_DOCS)
+        .select("source", "s", F.lit(True).alias("is_tpl"))
+    )
+    return (
+        ex.join(tpl, ["source", "s"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.count("is_tpl").cast("long").alias("n_template"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_template",
+            F.expr("CAST(n_template * 1000 div n_shingles AS BIGINT)").alias(
+                "tpl_permille"
+            ),
+            (F.col("n_template") > 0).alias("has_template"),
+        )
+        .orderBy("doc_id")
+    )

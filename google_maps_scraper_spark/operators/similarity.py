@@ -23,7 +23,7 @@ from __future__ import annotations
 import hashlib
 import logging
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .analytics import load
@@ -910,4 +910,83 @@ def emb_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
         .select("vec_id", F.round(adc, 4).alias("adc_r4"))
         .orderBy(F.col("adc_r4").asc(), F.col("vec_id").asc())
         .limit(10)
+    )
+
+
+# =============================================================================
+# Per-dimension variance profile (feature audit for quantization/pruning)
+# =============================================================================
+
+_DIM_VAR_TOPK = 10
+
+
+@_register(
+    "emb_dim_variance_topk",
+    f"""
+    WITH x AS (
+      -- parallel unnests zip element-wise in DuckDB: (0-based dim, value)
+      SELECT CAST(unnest(generate_series(1, len(embedding))) - 1 AS INT)
+               AS dim,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                  AS BIGINT) AS m
+      FROM embeddings),
+    g AS (
+      SELECT dim,
+             CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(m) AS BIGINT) AS sum_milli,
+             CAST(SUM(m * m) AS BIGINT) AS ss
+      FROM x GROUP BY 1),
+    r AS (
+      SELECT dim, n_vecs, sum_milli,
+             CAST(n_vecs * ss - sum_milli * sum_milli AS BIGINT) AS var_scaled,
+             ROW_NUMBER() OVER (
+               ORDER BY n_vecs * ss - sum_milli * sum_milli DESC, dim ASC
+             ) AS rk
+      FROM g)
+    SELECT dim, n_vecs, sum_milli, var_scaled, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= {_DIM_VAR_TOPK} ORDER BY rk
+    """,
+)
+def emb_dim_variance_topk(spark: SparkSession, sf: str) -> DataFrame:
+    f"""Per-dimension variance profile of the embedding table, top
+    {_DIM_VAR_TOPK} dimensions — the feature audit run before
+    quantization/pruning decisions (which dims carry signal vs. which an
+    SQ8/PQ codebook can afford to crush; Faiss's OPQ training starts from
+    exactly these second moments).  Values are milli-scaled to integers
+    once at the scan (same ``round(CAST AS DOUBLE)`` contract as
+    ``emb_int8_quantize``), then variance is the EXACT integer
+    n·Σm²−(Σm)² — no float accumulation order can perturb the oracle
+    compare, and the scaled variance orders identically to the real one.
+
+    Scale shape: posexplode streams (dim, value) pairs out of the scan;
+    the groupBy(dim) partial-aggregates map-side so at most |dims| rows
+    per partition cross the wire (the HLL-register contract again); the
+    rank window runs on |dims| rows.  At 10^10 vectors this is the
+    cheapest whole-table statistic there is — one pass, bounded
+    shuffle."""
+    emb = load(spark, sf, "embeddings")
+    x = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("x").cast("double") * 1000).cast("long").alias("m"),
+    )
+    g = x.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("m").cast("long").alias("sum_milli"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("ss"),
+    )
+    var = (F.col("n_vecs") * F.col("ss") - F.col("sum_milli") * F.col("sum_milli")).cast(
+        "long"
+    )
+    return (
+        g.select("dim", "n_vecs", "sum_milli", var.alias("var_scaled"))
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("var_scaled").desc(), F.col("dim").asc())
+            )
+            .cast("int"),
+        )
+        .filter(F.col("rk") <= _DIM_VAR_TOPK)
+        .orderBy("rk")
     )
