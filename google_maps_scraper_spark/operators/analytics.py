@@ -3502,3 +3502,118 @@ def docs_lang_id_confusion(spark, sf):
         .withColumn("correct", F.col("lang_true") == F.col("lang_pred"))
         .orderBy("lang_true", "lang_pred")
     )
+
+
+@_q(
+    "events_markov_transitions",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             COALESCE(LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id), 'END') AS next_type
+      FROM events)
+    SELECT event_type, next_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type) AS BIGINT)
+             AS n_from,
+           CAST(COUNT(*) * 1000 // SUM(COUNT(*)) OVER (PARTITION BY event_type)
+                AS BIGINT) AS p_permille
+    FROM s GROUP BY event_type, next_type
+    ORDER BY event_type, next_type
+    """,
+)
+def events_markov_transitions(spark, sf):
+    """First-order Markov transition matrix over per-user event sequences —
+    the clickstream model behind next-action prediction and behavioral
+    cohorting (and, on the crawl side, the page-type transition model a
+    scheduler learns: SERP→place→reviews).  Per user, events order by
+    (ts, event_id) — the same deterministic tie-break as sessionization —
+    and each event contributes one (type → next-type) edge, with 'END' as
+    the absorbing state so row-sums equal event counts exactly.
+    Probabilities are integer permille (``div`` of two counts, no float).
+
+    Scale shape: ONE shuffle keyed by user_id for the lag window (sequences
+    are user-local, so partitions scale with users, no skew beyond the
+    heaviest user), then a groupBy bounded by |types|² rows that
+    partial-aggregates map-side; the normalizing row-sum rides a window
+    over the already-tiny matrix, not the event stream."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type",
+        F.coalesce(F.lead("event_type").over(w), F.lit("END")).alias(
+            "next_type"
+        ),
+    )
+    g = s.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    wf = Window.partitionBy("event_type")
+    return (
+        g.select(
+            "event_type",
+            "next_type",
+            "n_transitions",
+            F.sum("n_transitions").over(wf).cast("long").alias("n_from"),
+            F.expr(
+                "CAST(n_transitions * 1000 div "
+                "SUM(n_transitions) OVER (PARTITION BY event_type) AS BIGINT)"
+            ).alias("p_permille"),
+        )
+        .orderBy("event_type", "next_type")
+    )
+
+
+_WIN_TOPK = 3
+
+
+@_q(
+    "events_windowed_topk_types",
+    f"""
+    WITH w AS (
+      SELECT (epoch_us(ts) // {_TUMBLE_US}) * {_TUMBLE_US} AS win_start_us,
+             event_type
+      FROM events),
+    c AS (
+      SELECT win_start_us, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM w GROUP BY 1, 2),
+    r AS (
+      SELECT win_start_us, event_type, n_events,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY win_start_us
+               ORDER BY n_events DESC, event_type ASC) AS INT) AS rk
+      FROM c)
+    SELECT win_start_us, event_type, n_events, rk
+    FROM r WHERE rk <= {_WIN_TOPK}
+    ORDER BY win_start_us, rk
+    """,
+)
+def events_windowed_topk_types(spark, sf):
+    f"""Per-window top-{_WIN_TOPK} event types — the 'trending now' rollup
+    every monitoring surface ships (and a crawl dashboard's
+    hottest-host-per-hour view): 6-hour tumbling windows, types ranked by
+    count with deterministic alphabetical ties.
+
+    Scale shape: the count groupBy partial-aggregates map-side to
+    |windows|·|types| rows, and the rank window partitions BY WINDOW — at
+    10^10 events the ranking input is already thousands of rows, not the
+    stream; the classic mistake (rank over the raw events) never
+    materializes here."""
+    e = load(spark, sf, "events")
+    win = (
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {_TUMBLE_US}")
+        * _TUMBLE_US
+    ).alias("win_start_us")
+    c = (
+        e.select(win, "event_type")
+        .groupBy("win_start_us", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w = Window.partitionBy("win_start_us").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _WIN_TOPK)
+        .orderBy("win_start_us", "rk")
+    )

@@ -977,3 +977,85 @@ def docs_source_template_shingles(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- shingle-level novelty vs a prior snapshot -------------------------------
+
+
+@_register(
+    "docs_shingle_novelty",
+    """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    tok AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([
+               array_to_string(words[i:i+2], ' ')
+               FOR i IN generate_series(1, greatest(len(words) - 2, 1))
+             ]) AS shingles
+      FROM tok),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    old AS (
+      SELECT DISTINCT s FROM ex CROSS JOIN n WHERE ex.doc_id * 2 < n.n),
+    new AS (SELECT ex.* FROM ex CROSS JOIN n WHERE ex.doc_id * 2 >= n.n),
+    pd AS (
+      SELECT new.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(COUNT(*) FILTER (old.s IS NULL) AS BIGINT) AS n_novel
+      FROM new LEFT JOIN old ON old.s = new.s
+      GROUP BY 1)
+    SELECT doc_id, n_shingles, n_novel,
+           CAST(n_novel * 1000 // n_shingles AS BIGINT) AS novelty_permille
+    FROM pd ORDER BY doc_id
+    """,
+)
+def docs_shingle_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Shingle-level novelty of a new batch against a prior snapshot — the
+    content-growth metric behind dedup-aware sampling (how much of today's
+    crawl is NEW text, not how many docs are new: a re-crawled page with
+    one changed paragraph scores its true marginal contribution).  Split
+    is the same deterministic halves as ``docs_incremental_bloom_dedup``
+    (old = doc_id·2 < n); each new document reports its distinct 3-gram
+    shingles, how many never occur in the old half, and an integer
+    permille novelty.
+
+    Scale shape: the old half collapses to a DISTINCT shingle set before
+    the join (the census is the small side after dedup — boilerplate-heavy
+    web text shrinks orders of magnitude); the LEFT join keys on the
+    shingle, so at 10^10 docs it is a shuffle of (doc, shingle-hash)
+    pairs against the shingle dictionary — the exact shape the MinHash
+    banding join already proved, and in production the string key becomes
+    xxhash64 while this catalog form keeps the DuckDB oracle exact."""
+    d = load(spark, sf, "documents")
+    n = d.count()  # driver scalar: snapshot split point (parquet-stats cheap)
+    sh = shingle_tokens(d)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    old = (
+        ex.filter(F.col("doc_id") * 2 < n)
+        .select("s")
+        .distinct()
+        .withColumn("seen_old", F.lit(True))
+    )
+    new = ex.filter(F.col("doc_id") * 2 >= n)
+    return (
+        new.join(old, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.count(F.when(F.col("seen_old").isNull(), 1))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("CAST(n_novel * 1000 div n_shingles AS BIGINT)").alias(
+                "novelty_permille"
+            ),
+        )
+        .orderBy("doc_id")
+    )
