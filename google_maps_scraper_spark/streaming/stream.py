@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 
 from ..schemas import PAGES_SCHEMA
 
-__all__ = ["stream_extract_places", "stream_windowed_events"]
+__all__ = [
+    "stream_extract_places",
+    "stream_windowed_events",
+    "stream_sessionize_stateful",
+]
 
 
 def stream_extract_places(
@@ -115,4 +119,93 @@ def stream_windowed_events(
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
+    )
+
+
+_SESSION_GAP_US = 1800 * 1_000_000  # 30-min inactivity gap (= events_sessionize)
+
+_SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_idx bigint, session_start_us bigint, "
+    "session_end_us bigint, n_events bigint"
+)
+_SESSION_STATE_SCHEMA = (
+    "session_idx bigint, session_start_us bigint, last_ts_us bigint, "
+    "n_events bigint"
+)
+
+
+def stream_sessionize_stateful(
+    events: DataFrame, gap_us: int = _SESSION_GAP_US
+) -> DataFrame:
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState`` —
+    the extension point for semantics Structured Streaming's built-in
+    windows cannot express (a session has no fixed width): per-user
+    sessionization with a {gap}-µs inactivity gap, state carried across
+    micro-batches, session summaries re-emitted (outputMode=update)
+    whenever a batch extends them.
+
+    Semantics match the batch ``events_sessionize`` operator exactly —
+    events order by (ts, event_id), a STRICT ``gap > {gap}`` starts a new
+    session — so a drained stream reconciles 1:1 against the batch window
+    dataflow (pinned by tests/test_streaming_stateful.py).  Assumes
+    per-user event-time-ordered arrival across micro-batches (the Kafka
+    key-partition contract; an out-of-order buffer would layer a watermark
+    on top, as ``stream_windowed_events`` does for fixed windows).
+
+    Scale shape: state is ONE 4-field tuple per user (bounded, no event
+    retention); each micro-batch's per-user work is vectorized numpy/pandas
+    (diff → cumsum → groupby — no per-row Python), and the shuffle is the
+    same user-keyed exchange the batch sessionizer pays.  ``events`` must
+    be a streaming DataFrame with ``event_id/ts/user_id`` columns."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values(["ts_us", "event_id"])
+        ts = rows["ts_us"].to_numpy(dtype=np.int64)
+        if state.exists:
+            idx0, start0, last0, n0 = state.get
+            prev = np.concatenate(([last0], ts[:-1]))
+            is_new = (ts - prev) > gap_us
+        else:
+            idx0, start0, n0 = -1, 0, 0
+            prev = np.concatenate(([ts[0]], ts[:-1]))
+            is_new = (ts - prev) > gap_us
+            is_new[0] = True
+        sidx = idx0 + np.cumsum(is_new)
+        df = pd.DataFrame({"sidx": sidx, "ts": ts})
+        g = df.groupby("sidx")["ts"].agg(["min", "max", "count"]).reset_index()
+        # merge the continuation of the carried-over session, if any
+        out = []
+        for _, r in g.iterrows():
+            si, mn, mx, cnt = (
+                int(r["sidx"]), int(r["min"]), int(r["max"]), int(r["count"])
+            )
+            if state.exists and si == idx0:
+                mn, cnt = start0, cnt + n0
+            out.append((int(key[0]), si, mn, mx, cnt))
+        last = out[-1]
+        state.update((last[1], last[2], int(ts[-1]), last[4]))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "session_idx", "session_start_us",
+                "session_end_us", "n_events",
+            ],
+        )
+
+    slim = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return slim.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
     )
