@@ -3617,3 +3617,53 @@ def events_windowed_topk_types(spark, sf):
         .filter(F.col("rk") <= _WIN_TOPK)
         .orderBy("win_start_us", "rk")
     )
+
+
+@_q(
+    "events_value_log2_histogram",
+    """
+    WITH m AS (
+      SELECT CAST(round(CAST(value AS DOUBLE) * 1000) AS BIGINT) AS m
+      FROM events),
+    b AS (
+      SELECT CASE WHEN m <= 0 THEN -1
+                  ELSE CAST(length(bin(m)) AS BIGINT) END AS bucket, m
+      FROM m)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(m) AS BIGINT) AS min_milli,
+           CAST(MAX(m) AS BIGINT) AS max_milli
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def events_value_log2_histogram(spark, sf):
+    """Power-of-two value histogram — the allocation-free distribution
+    sketch monitoring systems keep per metric (HdrHistogram's bucket
+    level; a crawl engine's response-size/latency profile): values
+    milli-scale to integers (the ``emb_int8_quantize`` rounding contract)
+    and bucket by BIT LENGTH, so bucket b holds [2^(b-1), 2^b) milli-units
+    and the bucket id is exact integer arithmetic in both engines
+    (``length(bin(m))`` — the HLL rank idiom), non-positives pooled at -1.
+
+    Scale shape: one scan-stage map + one groupBy bounded by ~64 buckets
+    that partial-aggregates map-side — mergeable across hosts/days like
+    every sketch in this catalog (the union of two histograms is the sum
+    of their buckets)."""
+    e = load(spark, sf, "events")
+    m = F.round(F.col("value").cast("double") * 1000).cast("long")
+    return (
+        e.select(m.alias("m"))
+        .select(
+            F.when(F.col("m") <= 0, F.lit(-1))
+            .otherwise(F.length(F.bin("m")).cast("long"))
+            .alias("bucket"),
+            "m",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("m").alias("min_milli"),
+            F.max("m").alias("max_milli"),
+        )
+        .orderBy("bucket")
+    )

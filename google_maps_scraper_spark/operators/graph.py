@@ -638,3 +638,75 @@ def _domain_matrix_sql() -> str:
 
 
 ORACLES["graph_domain_link_matrix"] = _domain_matrix_sql()
+
+
+@_register(
+    "graph_harmonic_centrality_2hop",
+    f"""
+    WITH {_EDGES_CTE},
+    in1 AS (SELECT DISTINCT dst AS v, src AS u FROM e),
+    two0 AS (
+      SELECT DISTINCT b.dst AS v, a.src AS u
+      FROM e a JOIN e b ON a.dst = b.src),
+    two AS (
+      SELECT t.v, t.u FROM two0 t
+      LEFT JOIN in1 ON in1.v = t.v AND in1.u = t.u
+      WHERE t.u <> t.v AND in1.u IS NULL),
+    c1 AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n1 FROM in1 GROUP BY 1),
+    c2 AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n2 FROM two GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(c1.n1, 0) AS n_dist1,
+           COALESCE(c2.n2, 0) AS n_dist2,
+           2 * COALESCE(c1.n1, 0) + COALESCE(c2.n2, 0) AS harmonic_x2
+    FROM documents d
+    LEFT JOIN c1 ON c1.v = d.doc_id
+    LEFT JOIN c2 ON c2.v = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def graph_harmonic_centrality_2hop(spark, sf):
+    """Harmonic centrality truncated at radius 2, inbound direction — the
+    bounded-radius centrality Common Crawl publishes for its host graph
+    (harmonic handles disconnected webs where closeness breaks; the
+    2-hop truncation is what makes it computable at 10^10 nodes).  For
+    each node: |exact-distance-1 in-neighbors| + ½·|exact-distance-2| —
+    scaled ×2 (``harmonic_x2 = 2·n1 + n2``) so the score stays an exact
+    integer.
+
+    Scale shape: distance-1 is the edge table deduped; distance-2 is ONE
+    self-join (fanout bounded by per-node out-degree, here ≤{EDGE_FANOUT})
+    followed by an anti-join that removes nodes already at distance 1 —
+    the same expand-then-drop-seen shape as a crawl round and
+    ``graph_bfs_depth2``, but per-TARGET, so the counts partial-aggregate
+    map-side and only (v, count) pairs cross the final wire."""
+    e = doc_edges(spark, sf)
+    docs = load(spark, sf, "documents").select("doc_id")
+    in1 = e.select(F.col("dst").alias("v"), F.col("src").alias("u")).distinct()
+    two = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .select(F.col("b.dst").alias("v"), F.col("a.src").alias("u"))
+        .distinct()
+        .filter(F.col("u") != F.col("v"))
+        .join(in1, ["v", "u"], "left_anti")
+    )
+    c1 = in1.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("n_dist1"))
+    c2 = two.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("n_dist2"))
+    return (
+        docs.join(c1, docs.doc_id == c1.v, "left")
+        .drop("v")
+        .join(c2, docs.doc_id == c2.v, "left")
+        .drop("v")
+        .select(
+            "doc_id",
+            F.coalesce("n_dist1", F.lit(0)).cast("long").alias("n_dist1"),
+            F.coalesce("n_dist2", F.lit(0)).cast("long").alias("n_dist2"),
+            (
+                2 * F.coalesce("n_dist1", F.lit(0))
+                + F.coalesce("n_dist2", F.lit(0))
+            )
+            .cast("long")
+            .alias("harmonic_x2"),
+        )
+        .orderBy("doc_id")
+    )

@@ -990,3 +990,58 @@ def emb_dim_variance_topk(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rk") <= _DIM_VAR_TOPK)
         .orderBy("rk")
     )
+
+
+# =============================================================================
+# ANN quality evaluation: LSH top-k recall against the brute-force oracle
+# =============================================================================
+
+_RECALL_K = 10
+
+
+def _ann_recall_sql() -> str:
+    return f"""
+    WITH bf AS (SELECT vec_id FROM ({ORACLES["emb_cosine_topk_r3"]}) t),
+    ap AS (SELECT vec_id, brute_force_fallback
+           FROM ({ORACLES["emb_lsh_ann_topk"]}) t)
+    SELECT CAST({_RECALL_K} AS BIGINT) AS k,
+           CAST(COUNT(bf.vec_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(bf.vec_id) * 1000 // {_RECALL_K} AS BIGINT)
+             AS recall_permille,
+           bool_or(ap.brute_force_fallback) AS lsh_fallback
+    FROM ap LEFT JOIN bf USING (vec_id)
+    """
+
+
+def emb_ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    f"""Recall@{_RECALL_K} of the LSH ANN path against the brute-force
+    cosine oracle — the eval every ANN deployment gates on before trading
+    exactness for speed (Faiss's recall-vs-QPS curve, one point): the two
+    catalog operators' top-{_RECALL_K} sets intersect, and the integer
+    permille recall plus the LSH fallback flag land in one audit row.
+    'Measure, don't guess' applied to this engine's own sketch.
+
+    Scale shape: both inputs are k-row results, so the eval join is
+    trivially broadcast and the aggregate is one row; the COST is the two
+    operand plans, which the catalog already prices separately.  At scale
+    the brute-force side runs on a SAMPLE of queries (here there is one
+    query vector, the full oracle) — the standard recall-estimation
+    protocol."""
+    brute = QUERIES["emb_cosine_topk_r3"](spark, sf).select(
+        "vec_id", F.lit(True).alias("in_bf")
+    )
+    lsh = QUERIES["emb_lsh_ann_topk"](spark, sf).select(
+        "vec_id", "brute_force_fallback"
+    )
+    return lsh.join(brute, "vec_id", "left").agg(
+        F.lit(_RECALL_K).cast("long").alias("k"),
+        F.count("in_bf").cast("long").alias("n_overlap"),
+        F.expr(f"CAST(count(in_bf) * 1000 div {_RECALL_K} AS BIGINT)").alias(
+            "recall_permille"
+        ),
+        F.max("brute_force_fallback").alias("lsh_fallback"),
+    )
+
+
+QUERIES["emb_ann_recall_eval"] = emb_ann_recall_eval
+ORACLES["emb_ann_recall_eval"] = _ann_recall_sql()
