@@ -952,7 +952,12 @@ def docs_source_template_shingles(spark: SparkSession, sf: str) -> DataFrame:
     ``docs_minhash_pairs``' banding; the string form here keeps the
     DuckDB oracle exact)."""
     d = shingle_tokens(load(spark, sf, "documents"))
-    ex = d.select("doc_id", "source", F.explode("shingles").alias("s"))
+    # the exploded shingle stream feeds BOTH the census and the per-doc
+    # probe: checkpoint it once so shingling isn't recomputed per branch
+    # (same pattern as docs_minhash_pairs' signature reuse)
+    ex = d.select(
+        "doc_id", "source", F.explode("shingles").alias("s")
+    ).localCheckpoint(eager=True)
     tpl = (
         ex.groupBy("source", "s")
         .agg(F.count(F.lit(1)).alias("sdf"))
@@ -1032,7 +1037,11 @@ def docs_shingle_novelty(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     n = d.count()  # driver scalar: snapshot split point (parquet-stats cheap)
     sh = shingle_tokens(d)
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    # old-dictionary build and new-batch probe both consume the explode:
+    # checkpoint once (docs_minhash_pairs pattern)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s")).localCheckpoint(
+        eager=True
+    )
     old = (
         ex.filter(F.col("doc_id") * 2 < n)
         .select("s")
