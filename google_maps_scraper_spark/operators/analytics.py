@@ -3667,3 +3667,151 @@ def events_value_log2_histogram(spark, sf):
         )
         .orderBy("bucket")
     )
+
+
+_AB_SALT = "ab-v1:"
+
+
+@_q(
+    "events_ab_test_lift",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN CAST(instr('0123456789abcdef',
+                    substring(md5('{_AB_SALT}' || user_id), 1, 1)) - 1
+                  AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant,
+             bool_or(event_type = 'purchase') AS converted
+      FROM events GROUP BY user_id)
+    SELECT variant,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(*) FILTER (converted) AS BIGINT) AS n_converted,
+           CAST(COUNT(*) FILTER (converted) * 1000 // COUNT(*) AS BIGINT)
+             AS conv_permille
+    FROM u GROUP BY variant ORDER BY variant
+    """,
+)
+def events_ab_test_lift(spark, sf):
+    """Deterministic A/B experiment readout — hash-based variant assignment
+    (first md5 nibble parity of the salted user id: the standard sticky
+    bucketing every experimentation platform uses, and the same
+    literal-hash discipline as ``docs_split_assign``) with per-variant
+    user-level conversion (≥1 purchase).  Rates are integer permille; the
+    lift is one subtraction away for the reader, with both numerators and
+    denominators exposed for the significance test a real platform runs.
+
+    Scale shape: one groupBy(user) with a bool_or partial-aggregate (the
+    conversion flag collapses map-side), then a 2-row groupBy — at 10^10
+    events the experiment readout costs one shuffle keyed by user, same
+    as sessionization, and variants need no randomness state anywhere."""
+    e = load(spark, sf, "events")
+    variant = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(_AB_SALT), F.col("user_id").cast("string"))
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    u = (
+        e.select(variant.alias("variant"), "user_id", "event_type")
+        .groupBy("variant", "user_id")
+        .agg(F.max(F.col("event_type") == "purchase").alias("converted"))
+    )
+    return (
+        u.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.count(F.when(F.col("converted"), 1))
+            .cast("long")
+            .alias("n_converted"),
+        )
+        .select(
+            "variant",
+            "n_users",
+            "n_converted",
+            F.expr("CAST(n_converted * 1000 div n_users AS BIGINT)").alias(
+                "conv_permille"
+            ),
+        )
+        .orderBy("variant")
+    )
+
+
+@_q(
+    "events_session_duration_histogram",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g),
+    d AS (
+      SELECT (MAX(us) - MIN(us)) // 1000000 AS dur_s
+      FROM s GROUP BY user_id, session_id),
+    b AS (
+      SELECT CASE WHEN dur_s <= 0 THEN 0
+                  ELSE CAST(length(bin(dur_s)) AS BIGINT) END AS bucket, dur_s
+      FROM d)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(MIN(dur_s) AS BIGINT) AS min_s,
+           CAST(MAX(dur_s) AS BIGINT) AS max_s
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def events_session_duration_histogram(spark, sf):
+    """Session-duration distribution in power-of-two second buckets — the
+    engagement profile composed from two catalog primitives: the
+    ``events_sessionize`` gap logic (same strict 30-min comparator, same
+    (ts, event_id) tie-break) feeding the ``events_value_log2_histogram``
+    bucket idiom (bit length of whole seconds; single-event sessions pool
+    at bucket 0).
+
+    Scale shape: one user-keyed shuffle for the two stacked windows (lag
+    + running sum share the same partitioning, ONE exchange), one
+    map-side-combining groupBy per (user, session), then the ~40-bucket
+    histogram groupBy — the same budget as sessionization itself."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1000000), 1).otherwise(0)
+    sess = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = (
+        e.select("user_id", us.alias("us"), sess.alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(F.expr("(MAX(us) - MIN(us)) div 1000000").alias("dur_s"))
+    )
+    return (
+        d.select(
+            F.when(F.col("dur_s") <= 0, F.lit(0))
+            .otherwise(F.length(F.bin("dur_s")).cast("long"))
+            .alias("bucket"),
+            "dur_s",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.min("dur_s").cast("long").alias("min_s"),
+            F.max("dur_s").cast("long").alias("max_s"),
+        )
+        .orderBy("bucket")
+    )

@@ -1068,3 +1068,127 @@ def docs_shingle_novelty(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- MinHash estimator accuracy eval -----------------------------------------
+
+_MHE_MAX_DOC = 30  # bounded pair set for the O(N²) exact leg
+
+
+@_register(
+    "docs_minhash_jaccard_eval",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+      FROM documents WHERE doc_id < {_MHE_MAX_DOC}
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([
+               array_to_string(words[i:i+2], ' ')
+               FOR i IN generate_series(1, greatest(len(words) - 2, 1))
+             ]) AS shingles
+      FROM tok
+    ),
+    bases AS MATERIALIZED (
+      SELECT doc_id, shingles,
+             list_transform(shingles, s ->
+               CAST(list_sum(list_transform(range(0, 8), i ->
+                 CAST(instr('{_HEX}', substring(md5(s), i + 1, 1)) - 1
+                      AS BIGINT) << (4 * (7 - i)))) AS BIGINT)
+               % {_MERSENNE31}) AS bs
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, shingles,
+             list_transform(range(0, {NUM_PERM}), k ->
+               list_aggregate(
+                 list_transform(bs, h ->
+                   (({_A_SQL})[k + 1] * h + ({_B_SQL})[k + 1]) % {_MERSENNE31}),
+                 'min')) AS sig
+      FROM bases
+    ),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_filter(range(0, {NUM_PERM}),
+                                  k -> a.sig[k + 1] = b.sig[k + 1]))
+                  AS BIGINT) AS m,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS i,
+             CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                  AS BIGINT) AS u
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(m * 1000 // {NUM_PERM} AS BIGINT) AS est_permille,
+           CAST(i * 1000 // u AS BIGINT) AS exact_permille,
+           CAST(abs(m * 1000 // {NUM_PERM} - i * 1000 // u) AS BIGINT)
+             AS abs_err_permille
+    FROM p ORDER BY doc_a, doc_b
+    """,
+)
+def docs_minhash_jaccard_eval(spark: SparkSession, sf: str) -> DataFrame:
+    f"""MinHash Jaccard-ESTIMATE accuracy against exact Jaccard — the
+    sketch-quality eval for the ``docs_minhash_pairs`` machinery (the
+    per-permutation signature-agreement fraction IS the unbiased Jaccard
+    estimator; its error here is the expected ~1/√{NUM_PERM} even with no
+    near-duplicates in the corpus, which is exactly why it needs
+    measuring before anyone trusts a banding threshold).  Bounded to
+    doc_id < {_MHE_MAX_DOC} for the O(N²) exact leg — same protocol as
+    ``docs_ngram_jaccard_topk``; at scale the eval runs on a sampled pair
+    panel while the estimator itself stays linear.
+
+    Scale shape: signatures are the same one-md5-per-shingle literal
+    permutations the production path uses; the bounded self-join is the
+    eval harness, not the operator (the production candidate generator is
+    the banding groupBy).  Everything is integer permille end to end."""
+    d = minhash_signatures(
+        shingle_tokens(
+            load(spark, sf, "documents").filter(F.col("doc_id") < _MHE_MAX_DOC)
+        ),
+        hash_fn="md5",
+    ).select("doc_id", "shingles", "sig")
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    # the pair grid is generated by EXPLODE + one equi-join (not a `<`
+    # theta-join, which would plan as the BroadcastNestedLoopJoin the plan
+    # guard forbids): each left doc fans out to every candidate id, the
+    # filter keeps the upper triangle, and the partner attaches by key
+    partners = a.select(
+        "doc_a",
+        "sh_a",
+        "sig_a",
+        F.explode(F.expr(f"sequence(0, {_MHE_MAX_DOC - 1})")).alias("doc_b"),
+    ).filter(F.col("doc_b") > F.col("doc_a"))
+    p = partners.join(b, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+        .cast("long")
+        .alias("m"),
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("i"),
+        F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+        .cast("long")
+        .alias("u"),
+    )
+    return (
+        p.select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"CAST(m * 1000 div {NUM_PERM} AS BIGINT)").alias(
+                "est_permille"
+            ),
+            F.expr("CAST(i * 1000 div u AS BIGINT)").alias("exact_permille"),
+            F.expr(
+                f"CAST(abs(m * 1000 div {NUM_PERM} - i * 1000 div u) "
+                "AS BIGINT)"
+            ).alias("abs_err_permille"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
