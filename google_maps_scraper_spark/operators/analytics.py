@@ -3815,3 +3815,99 @@ def events_session_duration_histogram(spark, sf):
         )
         .orderBy("bucket")
     )
+
+
+@_q(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark, sf):
+    """TPC-H Q6 (forecast revenue change) — the canonical predicate-pushdown
+    showcase: three scan-level filters and one aggregate, NO join, NO
+    groupBy key.  The plan the 100-TB grade demands: every predicate
+    reaches the parquet reader as a PushedFilter (shipdate range prunes
+    row groups via min/max stats, discount/quantity filter inside the
+    scan), the projection reads exactly three columns, and the single
+    global aggregate partial-aggregates map-side so ONE row per partition
+    crosses the wire — pinned by the plan-shape guard's forbidden-join
+    sweep and visible in `.explain` as one WholeStageCodegen span."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+@_q(
+    "docs_mixture_weights_isqrt",
+    """
+    WITH s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w
+      FROM s)
+    SELECT source, n_docs, n_tokens, w,
+           CAST(w * 1000 // SUM(w) OVER () AS BIGINT) AS share_permille
+    FROM w ORDER BY source
+    """,
+)
+def docs_mixture_weights_isqrt(spark, sf):
+    """Temperature-smoothed source-mixture weights (τ = 0.5) — the data-mix
+    step every multilingual/multi-source training run applies (mT5 / CC-mix
+    sampling: p_i ∝ c_i^τ flattens the head so low-resource sources are
+    not drowned): per source, token counts and an integer-square-root
+    weight with the resulting permille share of the mixture.
+
+    √ on a BIGINT token count is engine-stable here: IEEE sqrt of an
+    integer is correctly rounded, so floor(sqrt(n)) can only disagree with
+    the true isqrt when n is within 1 ulp of a perfect square above 2^52
+    (token counts are far below) — the one float allowed into an oracle,
+    and why.  Scale shape: one groupBy(source) with map-side token-count
+    partial sums, then the |sources|-row window for the normalizer — the
+    same two-level profile as the HLL estimate."""
+    d = load(spark, sf, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = s.withColumn(
+        "w", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+    )
+    return (
+        w.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "w",
+            F.expr("CAST(w * 1000 div SUM(w) OVER () AS BIGINT)").alias(
+                "share_permille"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -710,3 +710,80 @@ def graph_harmonic_centrality_2hop(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+_KCORE_K = 5
+
+
+@_register(
+    "graph_kcore_2iter",
+    f"""
+    WITH {_EDGES_CTE},
+    ue AS (
+      SELECT src AS a, dst AS b FROM e
+      UNION SELECT dst, src FROM e),
+    d0 AS (SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS deg FROM ue GROUP BY 1),
+    s1 AS (SELECT v FROM d0 WHERE deg >= {_KCORE_K}),
+    ue1 AS (
+      SELECT ue.a, ue.b FROM ue
+      JOIN s1 x ON x.v = ue.a JOIN s1 y ON y.v = ue.b),
+    d1 AS (SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS deg FROM ue1 GROUP BY 1),
+    s2 AS (SELECT v FROM d1 WHERE deg >= {_KCORE_K})
+    SELECT d.doc_id,
+           COALESCE(d0.deg, 0) AS deg_initial,
+           d0x.v IS NOT NULL AS survived_r1,
+           d1x.v IS NOT NULL AS survived_r2
+    FROM documents d
+    LEFT JOIN d0 ON d0.v = d.doc_id
+    LEFT JOIN s1 d0x ON d0x.v = d.doc_id
+    LEFT JOIN s2 d1x ON d1x.v = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def graph_kcore_2iter(spark, sf):
+    f"""Two peeling rounds of {_KCORE_K}-core decomposition over the
+    undirected link graph — the link-farm/spam-cluster detector (a k-core
+    survives only through mutual reinforcement; Common Crawl's host-graph
+    releases ship core numbers next to harmonic centrality).  Round 1
+    drops nodes with undirected degree < {_KCORE_K}; round 2 recomputes
+    degrees on the INDUCED subgraph and peels again — each node reports
+    its initial degree and both survival flags, so the fixpoint's first
+    two steps are pinned exactly.
+
+    Scale shape: each peel is one degree groupBy (map-side combined) plus
+    two semi-join-shaped filters of the edge list against the survivor
+    set — the expand-and-drop shape of a crawl round again; a full k-core
+    fixpoint iterates this exactly like the crawl's `run()` loop, with
+    the same survivor-set-is-small broadcast opportunity."""
+    e = doc_edges(spark, sf)
+    docs = load(spark, sf, "documents").select("doc_id")
+    ue = e.select(F.col("src").alias("a"), F.col("dst").alias("b")).union(
+        e.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    ).distinct()
+    d0 = ue.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    s1 = d0.filter(F.col("deg") >= _KCORE_K).select("v")
+    ue1 = (
+        ue.join(s1.withColumnRenamed("v", "a"), "a", "left_semi")
+        .join(s1.withColumnRenamed("v", "b"), "b", "left_semi")
+    )
+    d1 = ue1.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    s2 = d1.filter(F.col("deg") >= _KCORE_K).select("v")
+    return (
+        docs.join(d0, docs.doc_id == d0.v, "left")
+        .drop("v")
+        .join(s1.select(F.col("v"), F.lit(True).alias("sv1")), docs.doc_id == F.col("v"), "left")
+        .drop("v")
+        .join(s2.select(F.col("v"), F.lit(True).alias("sv2")), docs.doc_id == F.col("v"), "left")
+        .drop("v")
+        .select(
+            "doc_id",
+            F.coalesce("deg", F.lit(0)).cast("long").alias("deg_initial"),
+            F.coalesce("sv1", F.lit(False)).alias("survived_r1"),
+            F.coalesce("sv2", F.lit(False)).alias("survived_r2"),
+        )
+        .orderBy("doc_id")
+    )
