@@ -55,7 +55,7 @@ import os
 import pathlib
 import shutil
 import time
-from collections import defaultdict
+from collections import defaultdict, deque
 from contextlib import contextmanager
 from dataclasses import dataclass, field
 
@@ -123,6 +123,14 @@ class CrawlConfig:
     # work): round N's snapshot commits while round N+1 runs, so a crash can
     # lose at most the most recent round — resume then deterministically
     # re-runs it.  finalize()/run() always join and commit the final round.
+    ckpt_inflight: int = 2
+    # max durable commits in flight at once.  1 reproduces the round-3
+    # behavior (join before every submit); 2 lets commit N's writes overlap
+    # commit N+1's CAPTURE and the following round — the measured quiet-box
+    # scaling limiter was the driver blocking on the previous commit at
+    # round end (BENCH.md ckpt=1 phase profile: ckpt_join scaled 1.73x with
+    # 4x cores).  Commits still EXECUTE serially on the one writer thread
+    # (the manifest chain is ordered); only the driver's wait is removed.
     broadcast_claim_rows: int = 100_000
     # claims up to this many rows broadcast into the pages join (the huge
     # pages table is then never shuffled); larger claims fall back to a
@@ -210,7 +218,21 @@ class CrawlEngine:
         self._durable_round = -1   # last round with a committed durable snapshot
         self._writer_id = uuid.uuid4().hex  # fencing token (split-brain guard)
         self._ckpt_pool = None     # lazy single-thread executor: serializes
-        self._pending_ckpt = None  # the in-flight durable snapshot, if any
+        # in-flight durable snapshots, oldest first (≤ cfg.ckpt_inflight).
+        # The single worker runs them in submit order; the driver folds
+        # finished records opportunistically (round start / next submit)
+        # and blocks only when the queue is full or at sync points.
+        self._pending_ckpts: deque = deque()
+        # per-list count of entries captured by in-flight commits but not
+        # yet folded by _apply_commit — captures take the suffix past this
+        # head, applies slice the head (in commit order)
+        self._cap_heads = {"seen": 0, "results": 0, "term": 0}
+        # writer-thread-owned manifest chain state (prev log/totals/parent):
+        # commits chain through the serialized worker, so the driver never
+        # needs the previous commit's result to capture the next
+        self._wlog: dict | None = None
+        self._wtotals: dict | None = None
+        self._wparent: int = -1
         self._bloom = None
         if (config or CrawlConfig()).seen_bloom:
             from ..operators.bloom import BloomFilter
@@ -557,11 +579,16 @@ class CrawlEngine:
                 # rows): the commit writer then streams memory blocks instead
                 # of re-evaluating each round's status-flip join — the serial
                 # broadcast rebuilds that made commit writes scale at 1.3x.
-                # Safe: commits are joined at round START and submitted after
-                # this persist, so no in-flight capture holds list marks
-                # (guarded anyway — a captured prefix must keep its length).
-                if self._pending_ckpt is None and self._term_lazy:
-                    k = len(self._term_lazy)
+                # Safe under commit pipelining: captures cover the list HEAD
+                # (entries [0:_cap_heads)); this round's lazy deltas are the
+                # newest tail entries, appended after the last capture, so
+                # swapping them for the block-backed batch never disturbs a
+                # captured prefix (guarded: the swap region must lie fully
+                # past the capture head).
+                k = len(self._term_lazy)
+                if k and (
+                    len(self._term_since_durable) - self._cap_heads["term"] >= k
+                ):
                     assert self._term_since_durable[-k:] == self._term_lazy
                     self._term_since_durable[-k:] = [seg]
                 self._term_lazy = []
@@ -754,28 +781,36 @@ class CrawlEngine:
         """Snapshot the durable-commit inputs on the DRIVER thread: delta
         lists are copied (the writer thread must see a frozen prefix), marks
         record how much of each since-durable list the commit covers, and the
-        full views back the compaction path."""
+        full views back the compaction path.
+
+        Pipelining contract (cfg.ckpt_inflight > 1): each capture takes only
+        the suffix past ``_cap_heads`` — the entries no earlier in-flight
+        commit already covers — and marks are RELATIVE counts, applied in
+        commit order by ``_apply_commit`` (entries captured-but-unapplied
+        stay at the HEAD of each since-durable list, so the live seen/results
+        views remain complete during the overlap window).  The manifest
+        chain state (prev log/totals/parent) is NOT captured here: it lives
+        with the serialized writer thread, which is what frees the driver
+        from joining commit N before capturing N+1."""
         delta_rows = dict(self._rows_since)
         # the capture covers the full accumulated prefix; subsequent rounds
         # accumulate toward the NEXT commit
         self._rows_since = {"seen": 0, "results": 0, "term": 0}
+        lists = {
+            "seen": self._seen_since_durable,
+            "results": self._results_new,
+            "term": self._term_since_durable,
+        }
+        deltas = {t: list(lst[self._cap_heads[t]:]) for t, lst in lists.items()}
+        marks = {t: len(lst) - self._cap_heads[t] for t, lst in lists.items()}
+        for t, lst in lists.items():
+            self._cap_heads[t] = len(lst)
         return {
             "round": self.round,
             "live": self._frontier,
             "delta_rows": delta_rows,
-            "deltas": {
-                "seen": list(self._seen_since_durable),
-                "results": list(self._results_new),
-                "term": list(self._term_since_durable),
-            },
-            "marks": {
-                "seen": len(self._seen_since_durable),
-                "results": len(self._results_new),
-                "term": len(self._term_since_durable),
-            },
-            "prev_log": {k: list(v) for k, v in self._log.items()},
-            "prev_totals": json.loads(json.dumps(self._totals)),
-            "parent": self._durable_round,
+            "deltas": deltas,
+            "marks": marks,
             "full": {
                 "seen": self._seen,
                 "results": self._results,
@@ -809,6 +844,15 @@ class CrawlEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         self._check_writer()
+        # writer-owned chain state: seeded from the driver's durable view at
+        # the first write after init/resume/sync-apply (no commits are in
+        # flight at those points), then advanced per commit ON THIS THREAD —
+        # the serialized worker is the ordering point, so the driver never
+        # waits for commit N's manifest to capture commit N+1
+        if self._wlog is None:
+            self._wlog = {k: list(v) for k, v in self._log.items()}
+            self._wtotals = json.loads(json.dumps(self._totals))
+            self._wparent = self._durable_round
         rnd = cap["round"]
         rd = self.workdir / f"round={rnd:04d}"
         tmp = self.workdir / f".tmp.round={rnd:04d}"
@@ -837,7 +881,7 @@ class CrawlEngine:
         obs: dict[str, Observation] = {}
         rel = {t: f"round={rnd:04d}/{t}" for t in ("seen", "results", "term")}
         for t in ("seen", "results", "term"):
-            prev, deltas = cap["prev_log"][t], cap["deltas"][t]
+            prev, deltas = self._wlog[t], cap["deltas"][t]
             grown = len(prev) + (1 if deltas else 0)
             compact = bool(prev) and (
                 grown > self.cfg.compact_chain
@@ -890,8 +934,8 @@ class CrawlEngine:
         with ThreadPoolExecutor(max_workers=4) as ex:
             list(ex.map(_one_write, writes))
 
-        totals = cap["prev_totals"]
-        log = {t: list(cap["prev_log"][t]) for t in ("seen", "results", "term")}
+        totals = json.loads(json.dumps(self._wtotals))
+        log = {t: list(self._wlog[t]) for t in ("seen", "results", "term")}
         for t in ("seen", "results"):
             if actions[t] == "compact":
                 totals[t] = obs[t].get["n"]
@@ -929,7 +973,7 @@ class CrawlEngine:
         )
         manifest = {
             "round": rnd,
-            "parent_round": cap["parent"],
+            "parent_round": self._wparent,
             "counters": {**wc, "round": rnd},
             "chain": log,
             "totals": totals,
@@ -983,6 +1027,10 @@ class CrawlEngine:
                     continue
                 if r_old < cutoff and r_old not in referenced:
                     shutil.rmtree(d, ignore_errors=True)
+        # advance the writer-owned chain state for the NEXT queued commit
+        self._wlog = {t: list(v) for t, v in log.items()}
+        self._wtotals = json.loads(json.dumps(totals))
+        self._wparent = rnd
         return {
             "round": rnd,
             "log": log,
@@ -1001,23 +1049,41 @@ class CrawlEngine:
         batching design's accepted cost)."""
         from concurrent.futures import ThreadPoolExecutor
 
-        self._join_pending_checkpoint()   # serialize rounds; surface errors
+        # fold any finished commits first (free), then block ONLY if the
+        # pipeline is already at depth — the round-3 engine joined the
+        # previous commit unconditionally here, which made the driver's
+        # round-end wait the measured quiet-box scaling limiter
+        self._drain_done_checkpoints()
+        depth = max(int(self.cfg.ckpt_inflight), 1)
+        keep = self.cfg.keep_rounds
+        if keep is not None and int(keep) < depth + 2:
+            # tight retention: a lazily-applied driver view could outlive a
+            # pruned round dir, so degrade to the round-3 depth-1 behavior
+            # (join-before-submit) instead of widening the prune window past
+            # what the user asked to keep
+            depth = 1
+        while len(self._pending_ckpts) >= depth:
+            with self._timed("ckpt_join"):
+                self._apply_commit(self._pending_ckpts.popleft().result())
         if self._ckpt_pool is None:
             self._ckpt_pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="gms-ckpt"
             )
         bloom_bytes = self._bloom.to_bytes() if self._bloom is not None else None
-        self._pending_ckpt = self._ckpt_pool.submit(
-            self._write_snapshot, self._capture_commit(), bloom_bytes
+        self._pending_ckpts.append(
+            self._ckpt_pool.submit(
+                self._write_snapshot, self._capture_commit(), bloom_bytes
+            )
         )
 
     def _apply_commit(self, rec: dict) -> None:
         """Fold a successful commit record into driver state: advance the
         durable mark, adopt the new chain + totals, drop the covered prefix
         of every since-durable list, and re-root the durably-logged results
-        at the committed chain parquet (valid because submits happen at
-        round end and joins at the next round's start, so no deltas were
-        appended in between)."""
+        at the committed chain parquet.  Marks are RELATIVE counts and
+        records are applied in commit order, so the head slice always drops
+        exactly the entries that commit captured (entries captured by
+        still-pending commits remain at the new head)."""
         self._durable_round = rec["round"]
         self._log = rec["log"]
         self._totals = rec["totals"]
@@ -1026,16 +1092,27 @@ class CrawlEngine:
         self._seen_since_durable = self._seen_since_durable[m["seen"]:]
         self._term_since_durable = self._term_since_durable[m["term"]:]
         self._results_new = self._results_new[m["results"]:]
+        for t in ("seen", "results", "term"):
+            self._cap_heads[t] -= m[t]
         self._results_base = self._read_chain(rec["log"]["results"], RESULT_SCHEMA)
         self._rebuild_results_view()
 
+    def _drain_done_checkpoints(self) -> None:
+        """Fold every ALREADY-FINISHED in-flight commit, oldest first, without
+        blocking; surfaces write errors from finished commits."""
+        while self._pending_ckpts and self._pending_ckpts[0].done():
+            self._apply_commit(self._pending_ckpts.popleft().result())
+
     def _join_pending_checkpoint(self) -> None:
-        """Block on the in-flight commit (if any); re-raises write errors."""
-        f, self._pending_ckpt = self._pending_ckpt, None
-        if f is None:
+        """Block until every in-flight commit is folded (in commit order);
+        re-raises write errors.  The sync points — round-0 seed, fixpoint,
+        finalize, resume-time rebuilds — all funnel through here, so lazy
+        applies can never be observed by a durable-state consumer."""
+        if not self._pending_ckpts:
             return
         with self._timed("ckpt_join"):
-            self._apply_commit(f.result())
+            while self._pending_ckpts:
+                self._apply_commit(self._pending_ckpts.popleft().result())
 
     def _checkpoint(self) -> None:
         """Synchronous durable commit (seed round-0 and finalize): write,
@@ -1237,11 +1314,12 @@ class CrawlEngine:
         column dies inside that stage: only the compact dispatch output is
         materialized, so executor/driver memory scales with results, never
         with page bodies."""
-        # join the PREVIOUS round's overlapped durable write first: surfaces
-        # any write error, advances _durable_round, re-roots results — and
-        # only then start this round's work (serializes snapshots without
-        # ever blocking the driver during the write itself).
-        self._join_pending_checkpoint()
+        # fold any FINISHED overlapped durable writes (non-blocking): surfaces
+        # their write errors, advances _durable_round, re-roots results.  A
+        # still-running commit keeps running — the driver blocks only when
+        # the in-flight pipeline is full (cfg.ckpt_inflight) or at sync
+        # points (seed/fixpoint/finalize).
+        self._drain_done_checkpoints()
         self.round += 1
         cfg = self.cfg
         claimed, eligible = self._claim()
