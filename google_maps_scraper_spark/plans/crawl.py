@@ -233,6 +233,11 @@ class CrawlEngine:
         self._wlog: dict | None = None
         self._wtotals: dict | None = None
         self._wparent: int = -1
+        # first commit failure (fail-stop): later queued commits must NOT
+        # publish — their captures assume the failed commit's deltas are in
+        # the chain, so publishing would flip LATEST to a manifest that
+        # silently skips those rows
+        self._ckpt_failed: BaseException | None = None
         self._bloom = None
         if (config or CrawlConfig()).seen_bloom:
             from ..operators.bloom import BloomFilter
@@ -819,8 +824,19 @@ class CrawlEngine:
         }
 
     def _write_snapshot(self, *a, **kw):
-        with self._timed("snapshot_write"):
-            return self._write_snapshot_inner(*a, **kw)
+        # serialized with any earlier commit (one writer thread / the driver
+        # at sync points), so this read-then-write of the flag is ordered
+        if self._ckpt_failed is not None:
+            raise RuntimeError(
+                "an earlier durable commit failed; refusing to publish a "
+                "chain that would skip its deltas"
+            ) from self._ckpt_failed
+        try:
+            with self._timed("snapshot_write"):
+                return self._write_snapshot_inner(*a, **kw)
+        except BaseException as e:
+            self._ckpt_failed = e
+            raise
 
     _TERM_COMBOS = [
         (k, st)

@@ -157,6 +157,41 @@ def test_tight_retention_degrades_to_serial(spark, pages_and_seeds, tmp_path_fac
     assert _result_set(eng) == _result_set(ref)
 
 
+def test_failed_commit_is_fail_stop(spark, pages_and_seeds, tmp_path_factory):
+    """If commit N fails while commit N+1 is already queued, N+1 must NOT
+    publish: its capture assumes N's deltas are in the chain, so publishing
+    would flip LATEST to a manifest that silently skips those rows.  The
+    run must raise and the store must end at a pre-failure commit point."""
+    pages, seeds = pages_and_seeds
+    wd = str(tmp_path_factory.mktemp("failstop"))
+    eng = CrawlEngine(
+        spark, pages, wd,
+        CrawlConfig(extract_email=True, now_micros=NOW, ckpt_inflight=2),
+    )
+    inner = eng._write_snapshot_inner
+
+    def failing(cap, bloom_bytes):
+        if cap["round"] == 2:
+            raise OSError("injected: disk gone")
+        return inner(cap, bloom_bytes)
+
+    eng._write_snapshot_inner = failing
+    eng.seed_from_queries(seeds)
+    with pytest.raises((OSError, RuntimeError)):
+        eng.run()
+    latest = int((pathlib.Path(wd) / "LATEST").read_text())
+    assert latest < 2
+    for d in pathlib.Path(wd).glob("round=*"):
+        if (d / "manifest.json").exists():
+            assert int(d.name.split("=")[1]) < 2, d
+    # and the pre-failure store is still a valid resume point
+    resumed = CrawlEngine.resume(
+        spark, pages, wd,
+        CrawlConfig(extract_email=True, now_micros=NOW, ckpt_inflight=2),
+    )
+    assert resumed.round == latest
+
+
 def test_resume_mid_pipeline_crash(spark, pages_and_seeds, tmp_path_factory):
     """Abandoning the engine with commits still in flight (crash analog)
     must leave a resumable store: LATEST points at a fully committed round,
