@@ -193,6 +193,42 @@ def _jid(*cols):
 _CHAIN_MAX_HOPS = 64
 
 
+def _state_storage_level(spark: SparkSession):
+    """Block-manager storage level for the engine's in-memory state
+    checkpoints (frontier / seen segments / terminal segments / round
+    outputs).
+
+    ``localCheckpoint``'s default is MEMORY_AND_DISK **deserialized**: every
+    cached row lives as Java objects on the executor heap.  That is the
+    fastest level while the aggregate state fits, but it fails superlinearly
+    when it stops fitting — a 2× corpus (4.2M pages, local[16], 32g heap)
+    measured 4–14× phase walls (claim 14×, persist 10.6×) as old-gen churn
+    and storage eviction set in.  Serialized blocks cost one decode per
+    scan (each state table is scanned once per round) but keep the heap
+    flat; with ``spark.memory.offHeap.enabled`` the blocks leave the heap
+    entirely (``OFF_HEAP`` still spills to disk when the pool fills, so
+    nothing is ever recomputed — localCheckpoint has no lineage to replay).
+
+    ``GMS_STATE_STORAGE`` overrides for A/B: ``offheap`` | ``memdisk``
+    (serialized on-heap) | ``deser`` (the old default)."""
+    from pyspark import StorageLevel
+
+    mode = os.environ.get("GMS_STATE_STORAGE", "auto").lower()
+    if mode == "deser":
+        return None  # localCheckpoint default (MEMORY_AND_DISK_DESER)
+    if mode == "memdisk":
+        return StorageLevel.MEMORY_AND_DISK
+    if mode != "offheap":  # auto
+        try:
+            if spark.conf.get(
+                "spark.memory.offHeap.enabled", "false"
+            ).lower() != "true":
+                return StorageLevel.MEMORY_AND_DISK
+        except Exception:
+            return StorageLevel.MEMORY_AND_DISK
+    return StorageLevel.OFF_HEAP
+
+
 class CrawlEngine:
     """Iterative crawl over a pages DataFrame with parquet-backed state."""
 
@@ -291,6 +327,16 @@ class CrawlEngine:
         self._totals: dict = {"term": {}, "seen": 0, "results": 0}
         self.plan_log: dict[str, str] = {}  # filled when cfg.capture_plans
         self.phase_times: dict[str, float] = defaultdict(float)  # cfg.timing
+        # serialized (off-heap when available) block storage for all state
+        # checkpoints — the deserialized default turns superlinear once
+        # state outgrows the heap's storage pool (see _state_storage_level)
+        self._state_level = _state_storage_level(spark)
+
+    def _ckpt(self, df: DataFrame) -> DataFrame:
+        """Materialize ``df`` into the block manager at the engine's state
+        storage level (lineage truncated, eager).  Every state checkpoint
+        funnels through here so the storage policy is one decision."""
+        return df.localCheckpoint(eager=True, storageLevel=self._state_level)
 
     # ---------------- seeding -------------------------------------------------
 
@@ -448,9 +494,7 @@ class CrawlEngine:
         self._frontier = full.filter(F.col("status") == STATUS_NEW)
         done = full.filter(F.col("status") != STATUS_NEW)
         if materialize_done:
-            done = done.coalesce(self._state_partitions()).localCheckpoint(
-                eager=True
-            )
+            done = self._ckpt(done.coalesce(self._state_partitions()))
         self._frontier_done = [done]
         self._pending_term = None
         self._term_lazy = []
@@ -553,7 +597,7 @@ class CrawlEngine:
         ), ThreadPoolExecutor(max_workers=3) as ex:
             fs = {
                 name: ex.submit(
-                    lambda df, k: df.coalesce(k).localCheckpoint(eager=True), df, k
+                    lambda df, k: self._ckpt(df.coalesce(k)), df, k
                 )
                 for name, (df, k) in tables
             }
@@ -608,9 +652,7 @@ class CrawlEngine:
                 merged = prefix[0]
                 for seg in prefix[1:]:
                     merged = merged.unionByName(seg)
-                merged = self._reset_stats(
-                    merged.coalesce(n).localCheckpoint(eager=True)
-                )
+                merged = self._reset_stats(self._ckpt(merged.coalesce(n)))
                 self._seen_segs = [merged] + self._seen_segs[len(prefix):]
         self._rebuild_seen_view()
 
@@ -1242,7 +1284,7 @@ class CrawlEngine:
         def _root(df):
             if eng.cfg.keep_rounds is None:
                 return df
-            return df.coalesce(n).localCheckpoint(eager=True)
+            return eng._ckpt(df.coalesce(n))
 
         eng._frontier_done = [_root(eng._read_chain(chain["term"], FRONTIER_SCHEMA))]
         eng._pending_term = None
@@ -1250,14 +1292,14 @@ class CrawlEngine:
         eng._term_lazy_rows = 0
         eng._term_since_durable = []
         if denied is not None:
-            dseg = denied.coalesce(n).localCheckpoint(eager=True)
+            dseg = eng._ckpt(denied.coalesce(n))
             eng._frontier_done.append(dseg)
             eng._term_since_durable.append(dseg)
             # the restored live view now depends on a re-stamp plan over the
             # round dir's parquet; materialize it too so a later retention
             # prune cannot dangle it mid-run
             eng._frontier = eng._reset_stats(
-                eng._frontier.coalesce(n).localCheckpoint(eager=True)
+                eng._ckpt(eng._frontier.coalesce(n))
             )
             eng._live_parquet_rooted = False
         eng._seen_segs = [_root(eng._read_chain(chain["seen"], SEEN_SCHEMA))]
@@ -1362,9 +1404,7 @@ class CrawlEngine:
         )
         self._capture_plan("claim", claimed)
         with self._timed("claim"):
-            claimed = claimed.coalesce(self._state_partitions()).localCheckpoint(
-                eager=True
-            )
+            claimed = self._ckpt(claimed.coalesce(self._state_partitions()))
             _c = obs.get
         n_claimed, n_payload, claim_h = _c["n"], _c["n_payload"], _c["h"]
         n_payload_email = _c["n_payload_email"]
@@ -1520,7 +1560,7 @@ class CrawlEngine:
         with self._timed("dispatch"), self._timed(
             f"dispatch/round{self.round:02d}"
         ):
-            processed = processed.localCheckpoint(eager=True)
+            processed = self._ckpt(processed)
             _pm = pobs.get
         n_links = int(_pm["n_links"] or 0)
         self._cum_admitted += n_links
@@ -1539,11 +1579,10 @@ class CrawlEngine:
                 w_cap = Window.partitionBy("job_id").orderBy(
                     F.col("warc_ts").desc_nulls_last(), F.xxhash64("p").asc()
                 )
-                processed = (
+                processed = self._ckpt(
                     processed.withColumn("_rn", F.row_number().over(w_cap))
                     .filter(F.col("_rn") == 1)
                     .drop("_rn")
-                    .localCheckpoint(eager=True)
                 )
             n_next = processed.agg(
                 F.count(F.col("p.reviews_next.url")).alias("nn")
@@ -1563,14 +1602,13 @@ class CrawlEngine:
             # block-backed reads everywhere downstream.
             slim_all = claim_np.unionByName(claim_p)
             with self._timed("miss_recover"):
-                missing = (
+                missing = self._ckpt(
                     dispatch(
                         slim_all.join(
                             processed.select("job_id"), "job_id", "left_anti"
                         ).withColumn("html", F.lit(None).cast("binary"))
                     )
                     .coalesce(max(1, min(self._state_partitions(), 32)))
-                    .localCheckpoint(eager=True)
                 )
             processed_all = processed.unionByName(missing.select(processed.columns))
         else:
@@ -1650,7 +1688,7 @@ class CrawlEngine:
 
             def _hop(got_df):
                 cobs = Observation()
-                cp = (
+                cp = self._ckpt(
                     dispatch(live.join(got_df, "job_id", "left"))
                     .drop("warc_ts")
                     .observe(
@@ -1658,7 +1696,6 @@ class CrawlEngine:
                         F.count(F.lit(1)).alias("n"),
                         F.count(F.col("p.reviews_next.url")).alias("n_next"),
                     )
-                    .localCheckpoint(eager=True)
                 )
                 return cp, cobs.get
 
