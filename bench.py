@@ -30,6 +30,29 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _release_cached(spark) -> None:
+    """Unpersist every cached RDD left behind by the query that just ran.
+
+    Several catalog operators ``localCheckpoint`` a shared intermediate
+    (shingle explodes, MinHash signatures, IVF assignments) — correct inside
+    one query, but across a 120-query session the blocks accumulate: by the
+    tail of the catalog the storage pool is full of dead blocks, later
+    checkpoints evict/spill, and a query that runs in ~4 s in isolation was
+    measured at 31 s in session context.  Queries are independent and forced
+    to completion before this runs, so dropping every persistent RDD between
+    queries is safe and restores isolation-equivalent timings."""
+    import gc
+
+    gc.collect()  # drop Python-side refs so nothing is resurrected
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        it = jmap.values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+    except Exception:
+        pass  # JVM-API drift: stale blocks only cost speed, never correctness
+
+
 def bench_crawl(spark, timings: dict[str, float]) -> dict[str, float]:
     """End-to-end crawl rounds on a synthetic corpus: seeds → SERP → place →
     email, with dedup, politeness budgets and per-round checkpointing."""
@@ -38,6 +61,30 @@ def bench_crawl(spark, timings: dict[str, float]) -> dict[str, float]:
         corpus_to_spark,
         generate_corpus,
     )
+
+    # Untimed warm-up crawl (small corpus): the engine's round plans — claim
+    # window, fetch join, dispatch UDF, admission anti-join, delta-log commit
+    # writers — are distinct from every catalog query, so the catalog pass
+    # warms none of them; a cold first crawl was measured ~10 s slower than
+    # steady state (pure Catalyst compile + codegen + JIT, zero data).  Same
+    # discipline as the catalog's untimed warm-up above and the scaling
+    # bench's pre-probe (which warms both levels identically).  Its blocks
+    # are released BEFORE the timed corpus materializes (unpersisting a
+    # localCheckpoint is unrecoverable, so order matters).
+    warm_corpus = generate_corpus(n_seeds=6, places_per_serp=8)
+    warm_pages = corpus_to_spark(spark, warm_corpus).localCheckpoint(eager=True)
+    with tempfile.TemporaryDirectory(prefix="bench-crawl-warm-") as wd:
+        weng = CrawlEngine(
+            spark, warm_pages, wd,
+            CrawlConfig(extract_email=True, max_rounds=16, checkpoint_every=2),
+        )
+        weng.seed_from_queries(
+            [(s["query"].split(" #!#")[0], s["custom_id"])
+             for s in warm_corpus.seeds]
+        )
+        weng.run()
+        del weng
+    _release_cached(spark)
 
     corpus = generate_corpus(n_seeds=120, places_per_serp=60)
     pages = corpus_to_spark(spark, corpus).localCheckpoint(eager=True)
@@ -120,6 +167,7 @@ def main() -> None:
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        _release_cached(spark)  # untimed: drop this query's checkpoint blocks
 
     extras = bench_crawl(spark, timings)
 
