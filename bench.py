@@ -31,26 +31,13 @@ def _force(df) -> None:
 
 
 def _release_cached(spark) -> None:
-    """Unpersist every cached RDD left behind by the query that just ran.
+    """Drop dead checkpoint blocks between independent queries (see
+    ``google_maps_scraper_spark.session.release_cached``): a ~4 s catalog
+    query was measured at 31 s behind a storage pool full of prior queries'
+    leaked ``localCheckpoint`` blocks."""
+    from google_maps_scraper_spark.session import release_cached
 
-    Several catalog operators ``localCheckpoint`` a shared intermediate
-    (shingle explodes, MinHash signatures, IVF assignments) — correct inside
-    one query, but across a 120-query session the blocks accumulate: by the
-    tail of the catalog the storage pool is full of dead blocks, later
-    checkpoints evict/spill, and a query that runs in ~4 s in isolation was
-    measured at 31 s in session context.  Queries are independent and forced
-    to completion before this runs, so dropping every persistent RDD between
-    queries is safe and restores isolation-equivalent timings."""
-    import gc
-
-    gc.collect()  # drop Python-side refs so nothing is resurrected
-    try:
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        it = jmap.values().iterator()
-        while it.hasNext():
-            it.next().unpersist(False)
-    except Exception:
-        pass  # JVM-API drift: stale blocks only cost speed, never correctness
+    release_cached(spark)
 
 
 def bench_crawl(spark, timings: dict[str, float]) -> dict[str, float]:

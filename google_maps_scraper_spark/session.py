@@ -11,7 +11,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "stop_spark"]
+__all__ = ["get_spark", "release_cached", "stop_spark"]
 
 
 def get_spark(
@@ -73,6 +73,31 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def release_cached(spark: SparkSession) -> None:
+    """Unpersist every cached RDD in the session (between independent jobs).
+
+    Several operators ``localCheckpoint`` a shared intermediate (shingle
+    explodes, MinHash signatures, IVF assignments) so it is computed once
+    within the query.  The returned DataFrame still references those blocks,
+    so the operator itself cannot release them — but once a caller has fully
+    consumed a result, the blocks are dead weight.  Across a long session of
+    independent queries they accumulate until the storage pool forces
+    evict/spill churn (a ~4 s catalog query was measured at 31 s behind a
+    full pool).  Call this between independent queries; never while a
+    DataFrame you still need is mid-consumption (unpersisting a
+    ``localCheckpoint`` is unrecoverable — its lineage is truncated)."""
+    import gc
+
+    gc.collect()  # drop Python-side refs so nothing is resurrected
+    try:
+        # py4j auto-converts the java.util.Map to a Python mapping view
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            jrdd.unpersist(False)
+    except Exception:
+        pass  # JVM-API drift: stale blocks only cost speed, never correctness
 
 
 def stop_spark() -> None:

@@ -51,7 +51,7 @@ def table_hash(rows, cols):
 
 
 def main():
-    from google_maps_scraper_spark.session import get_spark
+    from google_maps_scraper_spark.session import get_spark, release_cached
 
     spark = get_spark(master="local[8]", shuffle_partitions=8, app_name="oracle-check")
     con = duckdb.connect()
@@ -73,6 +73,8 @@ def main():
             print(f"FAIL  {name}: spark error {exc}")
             failures.append(name)
             continue
+        finally:
+            release_cached(spark)  # drop this query's checkpoint blocks
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows, cols={scols} (no oracle)")
             continue
