@@ -222,3 +222,34 @@ def test_haversine_symmetric_bounded(lat1, lon1, lat2, lon2):
 @given(lat_st, lon_st)
 def test_haversine_zero_on_identical(lat, lon):
     assert haversine_distance(lat, lon, lat, lon) == 0.0
+
+
+# --------------------------------------------------------------------------
+# Bloom filter (operators/bloom.py) — the URL-seen accelerator
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.sets(st.text(max_size=30), max_size=50), st.sets(st.text(max_size=30), max_size=50))
+def test_bloom_no_false_negatives_and_merge(added, probed):
+    # False negatives are impossible — dedup decisions stay exact because
+    # positives fall through to the exact anti-join; a miss may NOT.
+    from google_maps_scraper_spark.operators.bloom import BloomFilter
+
+    bf = BloomFilter.sized(max(len(added), 1), fpp=0.01)
+    for k in added:
+        bf.add(k)
+    assert all(bf.might_contain(k) for k in added)
+
+    # OR-merge must behave like adding to one filter (shard-merge law).
+    half_a, half_b = BloomFilter(bf.m_bits, bf.k), BloomFilter(bf.m_bits, bf.k)
+    items = sorted(added)
+    for i, k in enumerate(items):
+        (half_a if i % 2 == 0 else half_b).add(k)
+    merged = half_a.merge(half_b)
+    assert bytes(merged.bits) == bytes(bf.bits)
+
+    # Serialization round-trips the exact decision function.
+    clone = BloomFilter(bf.m_bits, bf.k, bf.to_bytes())
+    for k in probed | added:
+        assert clone.might_contain(k) == bf.might_contain(k)
