@@ -3911,3 +3911,111 @@ def docs_mixture_weights_isqrt(spark, sf):
         )
         .orderBy("source")
     )
+
+
+# --- DSIR-style hashed-feature importance weights ----------------------------
+
+_DSIR_BUCKETS = 256  # hashed-unigram feature dimension (DSIR uses ~10^4;
+#                      256 keeps the census human-auditable at test scale)
+_DSIR_TARGET_LANG = "en"  # target domain: the English slice stands in for
+#                           "high-quality target corpus" (DSIR's Wikipedia)
+_DSIR_Q = 1 << 20  # Q20 fixed point: t_b*Q stays under 2^63 up to ~10^12
+#                    corpus tokens (10^10 docs x 100 tokens), the design scale
+
+
+@_q(
+    "docs_dsir_hashed_importance",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents),
+    t2 AS (
+      SELECT doc_id, lang,
+             (instr('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16 +
+             (instr('0123456789abcdef', substr(md5(token), 2, 1)) - 1) AS b
+      FROM tok WHERE token <> ''),
+    cen AS (
+      SELECT b,
+             CAST(COUNT(*) FILTER (lang = '{_DSIR_TARGET_LANG}') AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS r
+      FROM t2 GROUP BY b),
+    tot AS (SELECT CAST(SUM(t) * {_DSIR_Q} // SUM(r) AS BIGINT) AS base FROM cen),
+    sc AS (
+      SELECT t2.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(cen.t * {_DSIR_Q} // cen.r) AS BIGINT) AS score_q20
+      FROM t2 JOIN cen USING (b) GROUP BY t2.doc_id)
+    SELECT doc_id, n_tok, score_q20,
+           CAST(score_q20 // n_tok AS BIGINT) AS mean_q20,
+           score_q20 // n_tok > tot.base AS is_target_like
+    FROM sc CROSS JOIN tot ORDER BY doc_id
+    """,
+)
+def docs_dsir_hashed_importance(spark, sf):
+    """DSIR-style data selection over hashed unigram features (Xie et al.
+    2023, "Data Selection for Language Models via Importance Resampling"):
+    unigrams hash into 256 md5 buckets; a target feature distribution is
+    fit on the target-domain slice (lang='en', standing in for DSIR's
+    Wikipedia/quality corpus) and a raw distribution on the whole corpus;
+    each document scores its tokens against the two.
+
+    The catalog row uses the LINEAR (posterior-fraction) form in exact Q20
+    fixed point — per token, the bucket's target share t_b/r_b scaled by
+    2^20 with integer division — because the compare must be bit-stable
+    and libm log() is not (Spark computes LOG2 as ln(x)/ln(2), which lands
+    below 3.0 for x=8; sums of such logs cannot be hashed cross-engine).
+    A doc whose mean per-token share beats the corpus-wide base share
+    (is_target_like) is vocabulary-skewed toward the target domain;
+    production resampling uses DSIR's float log-ratio over the same
+    census rows — a deterministic map over this exact output.  Q20 keeps
+    t_b * 2^20 under 2^63 to ~10^12 corpus tokens.
+
+    Scale shape: the feature census is ONE partially-aggregated groupBy
+    with 256 output rows, which then BROADCASTS onto the exploded token
+    stream (no shuffle on the corpus side — contrast
+    docs_unigram_lm_rarity, whose vocabulary-sized census forces a
+    skew-join; hashing into a fixed feature space is exactly what makes
+    DSIR O(corpus) at 10^10 docs); the only corpus-sized shuffle is the
+    per-doc re-aggregation."""
+    d = load(spark, sf, "documents")
+    t = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .withColumn(
+            "b",
+            F.conv(F.substring(F.md5("token"), 1, 2), 16, 10).cast("int"),
+        )
+        .drop("token")
+    )
+    cen = t.groupBy("b").agg(
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+        ).cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("r"),
+    )
+    cen = cen.localCheckpoint(eager=True)  # census feeds base AND the probe
+    tr = cen.agg(F.sum("t").alias("T"), F.sum("r").alias("R")).head()
+    base = int(tr["T"]) * _DSIR_Q // int(tr["R"])  # global literal, exact
+    return (
+        t.join(F.broadcast(cen), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum(F.expr(f"t * {_DSIR_Q} div r")).cast("long").alias("score_q20"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "score_q20",
+            F.expr("CAST(score_q20 div n_tok AS BIGINT)").alias("mean_q20"),
+            (F.expr("score_q20 div n_tok") > F.lit(base)).alias(
+                "is_target_like"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -1192,3 +1192,227 @@ def docs_minhash_jaccard_eval(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- span-level cross-document duplication ------------------------------------
+#
+# The suffix-array dedup result (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better") found that EXACT SUBSTRING overlap,
+# not whole-document similarity, is where most training-data duplication
+# lives.  A distributed suffix array is impractical; the Spark-native
+# equivalent is positional k-gram matching: a shared token span of length
+# L >= k appears as L-k+1 CONSECUTIVE matching k-grams, so maximal shared
+# spans are maximal consecutive-position islands of duplicated k-grams.
+
+_SPAN_K = 3       # token k-gram width (span resolution: spans >= k tokens)
+_SPAN_OCC_CAP = 8  # drop k-grams with more global occurrences (boilerplate)
+_SPAN_MIN_RUN = 2  # report pairs sharing >= this many consecutive k-grams
+
+# positional k-grams, one per start position (NOT deduplicated - position
+# matters); short docs emit one truncated gram at pos 1, same clamping
+# convention as shingle_tokens/docs_shingle_novelty
+_POS_KG_CTE = r"""
+    tok AS (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\s+') AS words
+            FROM documents),
+    kg AS (SELECT doc_id, i AS pos,
+                  array_to_string(words[i:i+{km1}], ' ') AS g
+           FROM tok, LATERAL unnest(
+                 generate_series(1, greatest(len(words) - {km1}, 1))) AS u(i))
+"""
+
+
+def _pos_kgrams(d: DataFrame, k: int = _SPAN_K) -> DataFrame:
+    """(doc_id, pos, g): the k-gram starting at 1-based token position pos.
+    All JVM-side (split -> transform(sequence) -> explode); one row per
+    position, so downstream joins see positions, not documents."""
+    return (
+        d.withColumn("_toks", F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 1)),"
+                    f" i -> struct(i AS pos, concat_ws(' ', slice(_toks, i, {k})) AS g))"
+                )
+            ).alias("pg"),
+        )
+        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    )
+
+
+@_register(
+    "docs_dup_span_stats",
+    """
+    WITH
+    """
+    + _POS_KG_CTE.format(km1=_SPAN_K - 1)
+    + """,
+    dup AS (SELECT g FROM kg GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    fl AS (SELECT kg.doc_id, kg.pos, dup.g IS NOT NULL AS isd
+           FROM kg LEFT JOIN dup USING (g)),
+    runs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run
+             FROM (SELECT doc_id, pos,
+                          pos - ROW_NUMBER() OVER
+                            (PARTITION BY doc_id ORDER BY pos) AS grp
+                   FROM fl WHERE isd)
+             GROUP BY doc_id, grp),
+    pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kgrams,
+                  CAST(COUNT(*) FILTER (isd) AS BIGINT) AS n_dup_pos
+           FROM fl GROUP BY doc_id),
+    mr AS (SELECT doc_id, MAX(run) AS mx FROM runs GROUP BY doc_id)
+    SELECT pd.doc_id, pd.n_kgrams, pd.n_dup_pos,
+           CAST(COALESCE(mr.mx, 0) AS BIGINT) AS max_dup_run,
+           CAST(pd.n_dup_pos * 1000 // pd.n_kgrams AS BIGINT) AS dup_permille
+    FROM pd LEFT JOIN mr USING (doc_id) ORDER BY doc_id
+    """,
+)
+def docs_dup_span_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level duplication mask per document: how many k-gram start
+    positions are shared verbatim with ANOTHER document, and the longest
+    consecutive run of such positions (= longest shared token span, in
+    k-grams).  This is the per-document signal behind substring-level
+    dedup (Lee et al. 2021): a doc with dup_permille ~1000 is a near-copy;
+    a doc with a long max_dup_run but low dup_permille embeds one lifted
+    passage (quote, boilerplate block, license header).
+
+    Scale shape: the duplicate-gram census is a groupBy on the gram key
+    with a partial-aggregated COUNT(DISTINCT doc) (dictionary-sized
+    output, Zipf-truncated); the probe join keys on the gram; the run
+    fold happens INSIDE the per-doc aggregate - dup positions are
+    collected sorted and folded JVM-side with a single higher-order
+    ``aggregate`` (the funnel-conversion pattern), so no second window
+    shuffle.  In production the gram string becomes xxhash64(g); the
+    catalog row keeps strings so the DuckDB oracle is exact."""
+    kg = _pos_kgrams(load(spark, sf, "documents"))
+    kg = kg.localCheckpoint(eager=True)  # census + probe share the explode
+    dup = (
+        kg.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g", F.lit(True).alias("isd"))
+    )
+    fold = """
+        aggregate(
+          dps,
+          struct(CAST(0 AS BIGINT) AS best, CAST(0 AS BIGINT) AS cur,
+                 CAST(-2 AS BIGINT) AS prev),
+          (s, p) -> CASE WHEN p = s.prev + 1 THEN
+              struct(greatest(s.best, s.cur + 1) AS best,
+                     s.cur + CAST(1 AS BIGINT) AS cur,
+                     CAST(p AS BIGINT) AS prev)
+            ELSE
+              struct(greatest(s.best, CAST(1 AS BIGINT)) AS best,
+                     CAST(1 AS BIGINT) AS cur, CAST(p AS BIGINT) AS prev)
+            END,
+          s -> s.best)
+    """
+    return (
+        kg.join(dup, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kgrams"),
+            F.count("isd").cast("long").alias("n_dup_pos"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("isd"), F.col("pos")))
+            ).alias("dps"),
+        )
+        .select(
+            "doc_id",
+            "n_kgrams",
+            "n_dup_pos",
+            F.expr(fold).alias("max_dup_run"),
+            F.expr("CAST(n_dup_pos * 1000 div n_kgrams AS BIGINT)").alias(
+                "dup_permille"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "docs_dup_span_pairs",
+    """
+    WITH
+    """
+    + _POS_KG_CTE.format(km1=_SPAN_K - 1)
+    + f""",
+    rare AS (SELECT g FROM kg GROUP BY g
+             HAVING COUNT(DISTINCT doc_id) >= 2 AND COUNT(*) <= {_SPAN_OCC_CAP}),
+    occ AS (SELECT kg.* FROM kg JOIN rare USING (g)),
+    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.pos - b.pos AS diag, a.pos AS pa
+          FROM occ a JOIN occ b ON a.g = b.g AND a.doc_id < b.doc_id),
+    runs AS (SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS run
+             FROM (SELECT doc_a, doc_b, diag, pa,
+                          pa - ROW_NUMBER() OVER
+                            (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+                   FROM (SELECT DISTINCT doc_a, doc_b, diag, pa FROM m))
+             GROUP BY doc_a, doc_b, diag, grp)
+    SELECT doc_a, doc_b, MAX(run) AS max_run_kgrams,
+           CAST(MAX(run) + {_SPAN_K - 1} AS BIGINT) AS span_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_runs
+    FROM runs GROUP BY doc_a, doc_b
+    HAVING MAX(run) >= {_SPAN_MIN_RUN}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def docs_dup_span_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal shared verbatim spans between document PAIRS: two docs
+    sharing L consecutive tokens share L-k+1 k-grams at consecutive
+    positions on a constant anti-diagonal (pos_a - pos_b), so the longest
+    shared span is the longest consecutive-pa island per (doc_a, doc_b,
+    diag) - the distributed analog of the suffix-array cross-doc pass of
+    Lee et al. 2021.  Emits pairs sharing a span of >= 4
+    tokens (k + min_run - 1 = 4) with the span length and the number of
+    distinct shared runs.
+
+    Scale shape: the occurrence self-join is bounded BEFORE it happens -
+    only k-grams with >= 2 docs and <= 8 global occurrences join
+    (Zipf's head, the boilerplate that would explode the join, is exactly
+    what span dedup must ignore anyway; the reference filters ubiquitous
+    shingles the same way in its winnowing path).  Join fanout is
+    therefore <= cap per gram occurrence.  The island detection runs in a
+    window partitioned by (doc_a, doc_b, diag) - keys that fan out with
+    pair count, not corpus size.  In production the gram string becomes
+    xxhash64 and pairs above a span threshold feed the same
+    keep-canonical resolution as docs_dedup_keep_canonical."""
+    kg = _pos_kgrams(load(spark, sf, "documents"))
+    kg = kg.localCheckpoint(eager=True)  # census + self-join share it
+    rare = (
+        kg.groupBy("g")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"), F.count(F.lit(1)).alias("nocc")
+        )
+        .filter((F.col("nd") >= 2) & (F.col("nocc") <= _SPAN_OCC_CAP))
+        .select("g")
+    )
+    occ = kg.join(rare, "g")
+    a = occ.select(
+        F.col("g"), F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa")
+    )
+    b = occ.select(
+        F.col("g"), F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    m = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", (F.col("pa") - F.col("pb")).alias("diag"), "pa")
+        .distinct()
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        m.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("run"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("run").alias("max_run_kgrams"),
+            (F.max("run") + F.lit(_SPAN_K - 1)).cast("long").alias("span_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+        )
+        .filter(F.col("max_run_kgrams") >= _SPAN_MIN_RUN)
+        .orderBy("doc_a", "doc_b")
+    )
