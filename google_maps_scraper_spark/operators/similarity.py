@@ -1045,3 +1045,154 @@ def emb_ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES["emb_ann_recall_eval"] = emb_ann_recall_eval
 ORACLES["emb_ann_recall_eval"] = _ann_recall_sql()
+
+
+# =============================================================================
+# Embedding-compression quality evals: prefix-dim and sign-bit recall
+# =============================================================================
+
+_MRL_PREFIX_DIM = 16  # Matryoshka prefix width evaluated against full dim
+
+
+def _mrl_recall_sql() -> str:
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    tr AS (SELECT e.vec_id,
+                  ROUND(list_cosine_similarity(
+                    e.embedding[1:{_MRL_PREFIX_DIM}],
+                    q.qe[1:{_MRL_PREFIX_DIM}]), 3) AS cs
+           FROM embeddings e, q WHERE e.vec_id <> 0
+           ORDER BY cs DESC, e.vec_id ASC LIMIT {_RECALL_K}),
+    bf AS (SELECT vec_id FROM ({{bf}}) t)
+    SELECT CAST({_RECALL_K} AS BIGINT) AS k,
+           CAST({_MRL_PREFIX_DIM} AS BIGINT) AS prefix_dim,
+           CAST(COUNT(bf.vec_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(bf.vec_id) * 1000 // {_RECALL_K} AS BIGINT)
+             AS recall_permille
+    FROM tr LEFT JOIN bf USING (vec_id)
+    """
+
+
+def emb_matryoshka_prefix_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@10 of PREFIX-DIMENSION retrieval against the full-dimension
+    brute-force oracle — the Matryoshka-representation eval (Kusupati et
+    al. 2022): rank by cosine over only the first 16 of 64 dims and
+    measure how much of the true top-10 survives.  This is the quality
+    gate for the standard 4x index-shrink trick (store the prefix, rerank
+    survivors with the full vector); the catalog prices the rerank's
+    operand (emb_cosine_topk_r3) separately.
+
+    Scale shape: the truncated pass is the same shuffle-free map +
+    TakeOrdered as the full brute-force scan but reads/computes 1/4 of
+    the vector; at 10^10 rows the prefix slice is what lives in memory
+    and the full vector stays in cold storage for rerank — the eval join
+    itself is two k-row inputs, trivially broadcast."""
+    emb = load(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    query = [float(x) for x in qrow["embedding"]][:_MRL_PREFIX_DIM]
+    tr = cosine_topk(
+        emb.filter(F.col("vec_id") != 0).withColumn(
+            "embedding", F.slice("embedding", 1, _MRL_PREFIX_DIM)
+        ),
+        query,
+        k=_RECALL_K,
+        decimals=3,
+        out_col="cs",
+    ).select("vec_id")
+    bf = QUERIES["emb_cosine_topk_r3"](spark, sf).select(
+        "vec_id", F.lit(True).alias("in_bf")
+    )
+    return tr.join(bf, "vec_id", "left").agg(
+        F.lit(_RECALL_K).cast("long").alias("k"),
+        F.lit(_MRL_PREFIX_DIM).cast("long").alias("prefix_dim"),
+        F.count("in_bf").cast("long").alias("n_overlap"),
+        F.expr(f"CAST(count(in_bf) * 1000 div {_RECALL_K} AS BIGINT)").alias(
+            "recall_permille"
+        ),
+    )
+
+
+QUERIES["emb_matryoshka_prefix_recall"] = emb_matryoshka_prefix_recall
+ORACLES["emb_matryoshka_prefix_recall"] = _mrl_recall_sql().format(
+    bf=ORACLES["emb_cosine_topk_r3"]
+)
+
+
+def _sign_recall_sql() -> str:
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    hd AS (SELECT e.vec_id,
+                  CAST(list_sum([
+                    CASE WHEN (e.embedding[i] >= 0) <> (q.qe[i] >= 0)
+                         THEN 1 ELSE 0 END
+                    FOR i IN generate_series(1, len(e.embedding))
+                  ]) AS BIGINT) AS hamming
+           FROM embeddings e, q WHERE e.vec_id <> 0),
+    tk AS (SELECT vec_id, hamming FROM hd
+           ORDER BY hamming ASC, vec_id ASC LIMIT {_RECALL_K}),
+    bf AS (SELECT vec_id FROM ({{bf}}) t)
+    SELECT CAST({_RECALL_K} AS BIGINT) AS k,
+           CAST(COUNT(bf.vec_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(bf.vec_id) * 1000 // {_RECALL_K} AS BIGINT)
+             AS recall_permille,
+           CAST(MAX(tk.hamming) AS BIGINT) AS max_hamming_in_topk
+    FROM tk LEFT JOIN bf USING (vec_id)
+    """
+
+
+def emb_sign_hamming_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@10 of SIGN-BIT (1-bit-per-dimension) retrieval against the
+    full-precision brute-force oracle — the binary-quantization eval
+    (32x compression; the BQ mode of every production vector store):
+    each dimension keeps only its sign, candidates rank by Hamming
+    distance to the query's sign vector (ties on vec_id), and the audit
+    row reports how much of the true cosine top-10 survives plus the
+    Hamming radius the top-10 spans.
+
+    Unlike emb_lsh_ann_topk's 16 random hyperplanes, the sign bits ARE
+    the 64 axis-aligned hyperplanes — no projection arithmetic at all,
+    which is why BQ is the cheapest first-pass filter at 10^10 rows.
+
+    Scale shape: the Hamming scan is a shuffle-free map over packed bits
+    (pure integer XOR/popcount at scale — here an exact per-dim fold so
+    the DuckDB oracle replays it) + TakeOrdered; the eval join is two
+    k-row inputs.  Production packs the 64 bits into one BIGINT and
+    XOR+bit_counts it; the fold form keeps the catalog row exact."""
+    emb = load(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qsign = [1 if float(x) >= 0 else 0 for x in qrow["embedding"]]
+    qarr = F.array(*[F.lit(int(b)) for b in qsign])
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            qarr,
+            lambda x, qb: (
+                (x >= F.lit(0.0)).cast("int") != qb
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    tk = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", ham.alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+        .limit(_RECALL_K)
+    )
+    bf = QUERIES["emb_cosine_topk_r3"](spark, sf).select(
+        "vec_id", F.lit(True).alias("in_bf")
+    )
+    return tk.join(bf, "vec_id", "left").agg(
+        F.lit(_RECALL_K).cast("long").alias("k"),
+        F.count("in_bf").cast("long").alias("n_overlap"),
+        F.expr(f"CAST(count(in_bf) * 1000 div {_RECALL_K} AS BIGINT)").alias(
+            "recall_permille"
+        ),
+        F.max("hamming").cast("long").alias("max_hamming_in_topk"),
+    )
+
+
+QUERIES["emb_sign_hamming_recall"] = emb_sign_hamming_recall
+ORACLES["emb_sign_hamming_recall"] = _sign_recall_sql().format(
+    bf=ORACLES["emb_cosine_topk_r3"]
+)
