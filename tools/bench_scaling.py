@@ -71,6 +71,37 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _cpu_jiffies() -> list[int] | None:
+    """Aggregate CPU jiffies (user nice system idle iowait irq softirq
+    steal) from /proc/stat.  Steal is the KERNEL-attributed share of time
+    the hypervisor ran someone else on our vCPUs — the direct kernel-level
+    measurement of the external host contention that loadavg (guest-side
+    runnable tasks) cannot see.  This sandbox is a Firecracker guest on a
+    shared host: observed steal swings 0-10%+ on a minutes timescale with
+    an idle guest, which is exactly the round-3 'attribution hazard'."""
+    try:
+        return [int(x) for x in open("/proc/stat").readline().split()[1:9]]
+    except (OSError, ValueError):
+        return None
+
+
+def _steal_stats(j0: list[int] | None, j1: list[int] | None) -> dict:
+    """steal/busy/idle percentages over a (j0, j1) jiffies window."""
+    if not j0 or not j1:
+        return {}
+    d = [b - a for a, b in zip(j0, j1)]
+    total = sum(d)
+    if total <= 0:
+        return {}
+    idle = d[3] + d[4]          # idle + iowait
+    steal = d[7]
+    return {
+        "steal_pct": round(100.0 * steal / total, 2),
+        "idle_pct": round(100.0 * idle / total, 2),
+        "busy_pct": round(100.0 * (total - idle - steal) / total, 2),
+    }
+
+
 def _read_pages(spark, pages_path: str):
     """Bucketed-table read when the corpus was written url-bucketed (the
     Iceberg bucket(url) partition-transform analog; the fetch join then
@@ -107,6 +138,7 @@ def _cpu_probe(pages) -> dict:
         "url", "html"
     )
     n_place = place_pages.count()  # warm the scan; excluded from the clock
+    j0 = _cpu_jiffies()
     t = time.perf_counter()
     n_parsed = (
         place_pages.withColumn(
@@ -129,6 +161,7 @@ def _cpu_probe(pages) -> dict:
         "parsed": n_parsed,
         "pages_per_sec": round(n_place / sec, 2),
         "loadavg": _loadavg(),
+        **_steal_stats(j0, _cpu_jiffies()),
     }
 
 
@@ -154,6 +187,7 @@ def run_level(cpus: int, pages_path: str, workroot: str, seeds_path: str) -> Non
     probe_pre = _cpu_probe(pages)   # paired ceiling, measured pre-crawl
     wd = os.path.join(workroot, f"wd-{cpus}")
     load_pre_crawl = _loadavg()
+    jiff_pre_crawl = _cpu_jiffies()
     t0 = time.perf_counter()
     eng = CrawlEngine(
         spark, pages, wd,
@@ -179,6 +213,7 @@ def run_level(cpus: int, pages_path: str, workroot: str, seeds_path: str) -> Non
     eng.seed_from_queries(seeds)
     counters = eng.run()
     elapsed = time.perf_counter() - t0
+    crawl_cpu = _steal_stats(jiff_pre_crawl, _cpu_jiffies())
     load_post_crawl = _loadavg()
 
     probe_post = _cpu_probe(pages)  # paired ceiling, measured post-crawl
@@ -203,6 +238,8 @@ def run_level(cpus: int, pages_path: str, workroot: str, seeds_path: str) -> Non
         "probe_post": probe_post,
         "loadavg_pre_crawl": load_pre_crawl,
         "loadavg_post_crawl": load_post_crawl,
+        "crawl_cpu": crawl_cpu,  # kernel-attributed steal/busy/idle % over
+        #                          the crawl window (see _cpu_jiffies)
         "extract_stage_sec": min(probe_pre["sec"], probe_post["sec"]),
         "extract_stage_pages": probe_post["pages"],
         "extract_stage_parsed": probe_post["parsed"],
@@ -294,7 +331,8 @@ def main() -> None:
                               "pages_extracted_per_sec",
                               "frontier_urls_scheduled_per_sec", "counters",
                               "crawl_probe_pre", "crawl_probe_post",
-                              "loadavg_pre_crawl", "loadavg_post_crawl"):
+                              "loadavg_pre_crawl", "loadavg_post_crawl",
+                              "crawl_cpu"):
                         best[k] = r[k]
                 if r["extract_stage_pages_per_sec"] > best["extract_stage_pages_per_sec"]:
                     for k in ("extract_stage_sec", "extract_stage_pages",
@@ -343,6 +381,14 @@ def main() -> None:
     print(f"paired same-minutes CPU ceiling: {eff_ceiling_paired:.3f}")
     if engine_share is not None:
         print(f"engine share (e2e / paired ceiling): {engine_share:.3f}")
+    for r in runs:
+        cc = r.get("crawl_cpu") or {}
+        if cc:
+            print(
+                f"crawl-window CPU @local[{r['cpus']}]: "
+                f"steal {cc['steal_pct']}% busy {cc['busy_pct']}% "
+                f"idle {cc['idle_pct']}% (kernel-attributed, /proc/stat)"
+            )
 
     shutil.rmtree(workroot, ignore_errors=True)
     print(json.dumps({
