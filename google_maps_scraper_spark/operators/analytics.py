@@ -3858,6 +3858,89 @@ def tpch_q6_forecast_revenue(spark, sf):
 
 
 @_q(
+    "tpch_q4_priority_exists",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o.o_orderkey AND l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_priority_exists(spark, sf):
+    """TPC-H Q4 shape (order-priority checking, adapted to the testdata
+    columns: EXISTS lineitem shipped after the order date): the catalog's
+    one EXISTS-decorrelation showcase.  Expressed as a LEFT SEMI join with
+    a mixed equi + non-equi condition — Catalyst keeps l_orderkey as the
+    shuffle/broadcast key and evaluates the date comparison as a join
+    residual, so the plan is a semi hash join, never a nested loop; the
+    probe side short-circuits on first match (no lineitem-side aggregation
+    materializes), which is exactly how Q4 should execute at 100 TB.  The
+    date window is pushed to the orders scan before the join."""
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+@_q(
+    "tpch_q14_promo_share",
+    """
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+           ROUND(100.0 * SUM(CASE WHEN p_type = 'ECONOMY'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS economy_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def tpch_q14_promo_share(spark, sf):
+    """TPC-H Q14 shape (promotion-revenue share, p_type='ECONOMY' standing
+    in for LIKE 'PROMO%'): conditional aggregation over a fact⋈dim join.
+    part is dimension-sized at every SF ratio the benchmark uses, so it is
+    explicitly broadcast — the lineitem side never shuffles; the CASE
+    folds into the same partial aggregate as the denominator so one pass
+    computes both, and the month bucket keeps output bounded (12 rows)
+    regardless of input scale."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    p = load(spark, sf, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("economy_pct"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+@_q(
     "docs_mixture_weights_isqrt",
     """
     WITH s AS (
