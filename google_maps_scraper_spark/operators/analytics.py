@@ -4102,3 +4102,316 @@ def docs_dsir_hashed_importance(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM document scoring (CCNet-style corpus-fit conditional model)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "docs_bigram_lm_stats",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+      FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1,
+             unnest(list_transform(range(1, len(ts)),
+                                   i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+      FROM t WHERE len(ts) >= 2),
+    bgc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bg GROUP BY bigram),
+    ctx AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+            FROM bg GROUP BY w1)
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(bgc.c12) AS BIGINT) AS sum_bg_freq,
+           CAST(MIN(bgc.c12) AS BIGINT) AS min_bg_freq,
+           CAST(SUM(ctx.c1) AS BIGINT) AS sum_ctx_freq
+    FROM bg JOIN bgc USING (bigram) JOIN ctx USING (w1)
+    GROUP BY bg.doc_id ORDER BY doc_id
+    """,
+)
+def docs_bigram_lm_stats(spark, sf):
+    """Bigram-LM document scoring, exact-arithmetic form — the conditional
+    upgrade of ``docs_unigram_lm_rarity`` and the shape of CCNet's
+    LM-perplexity quality filter (Wenzek et al. 2020 score documents under
+    an n-gram LM; here the model is fit on the corpus itself, the
+    self-supervised variant).  For each document: the bigram count, the
+    SUM and MIN of each bigram occurrence's corpus-wide frequency c(w1,w2),
+    and the SUM of its context frequency c(w1·) — the integer sufficient
+    statistics of the add-k-smoothed conditional score
+    −Σ log((c(w1,w2)+k)/(c(w1·)+kV)); the float map stays out of the
+    compared output (exact-output rule).  Unlike
+    ``docs_top_bigram_share`` (per-doc repetition, no cross-doc state),
+    this op's model is CORPUS-level: the census joins reach across every
+    document.
+
+    Scale shape: two partially-aggregated censuses (groupBy bigram, groupBy
+    context word — both vocabulary-bounded), joined back onto the exploded
+    corpus on Zipf-skewed keys: the head bigram/context rows land in every
+    partition, the textbook AQE-skew-join case, and both census sides
+    broadcast whenever they fit (vocab ≪ corpus).  One corpus-sized shuffle
+    (the per-doc re-aggregation) — identical discipline and plan shape to
+    the unigram op, with the bigram key doubling the census width, not the
+    shuffle count."""
+    d = load(spark, sf, "documents")
+    toks = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("ts"))
+    bg = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1), i -> struct("
+                    "element_at(ts, i) AS w1, "
+                    "concat(element_at(ts, i), ' ', element_at(ts, i + 1))"
+                    " AS bigram))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.bigram").alias("bigram"))
+    )
+    bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    return (
+        bg.join(bgc, "bigram")
+        .join(ctx, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("c12").cast("long").alias("sum_bg_freq"),
+            F.min("c12").cast("long").alias("min_bg_freq"),
+            F.sum("c1").cast("long").alias("sum_ctx_freq"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- multimodal: WebP (RIFF container, VP8X/VP8L) header decode -------------
+
+
+def _webp_vp8x_payload(width: int, height: int) -> bytes:
+    """Minimal WebP extended-format stream: RIFF/WEBP + VP8X chunk (canvas
+    dims live there as 24-bit little-endian width-1/height-1)."""
+    vp8x = (
+        b"\x00"          # flags: no ICC/alpha/EXIF/XMP/animation
+        + b"\x00\x00\x00"  # reserved
+        + struct.pack("<I", width - 1)[:3]
+        + struct.pack("<I", height - 1)[:3]
+    )
+    chunk = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _webp_vp8l_payload(width: int, height: int) -> bytes:
+    """Minimal WebP lossless stream: RIFF/WEBP + VP8L chunk — dims are
+    14-bit fields packed little-endian after the 0x2F signature byte; the
+    odd-sized chunk takes the RIFF even-boundary pad byte."""
+    bits = (width - 1) | ((height - 1) << 14)  # alpha=0, version=0 above
+    vp8l = b"\x2f" + struct.pack("<I", bits)
+    chunk = b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l + b"\x00"  # pad
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+_VP8X_LEN = len(_webp_vp8x_payload(1, 1))
+_VP8L_LEN = len(_webp_vp8l_payload(1, 1))
+
+
+def parse_webp_header(b: bytes | None) -> tuple[str | None, int | None, int | None]:
+    """Decode (variant, width, height) from raw WebP bytes: RIFF container
+    walk + VP8X canvas fields or the VP8L packed-bitstream dims."""
+    if not b:
+        return (None, None, None)
+    b = bytes(b)
+    if len(b) < 21 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        return ("unknown", None, None)
+    fourcc = b[12:16]
+    if fourcc == b"VP8X" and len(b) >= 30:
+        w = int.from_bytes(b[24:27], "little") + 1
+        h = int.from_bytes(b[27:30], "little") + 1
+        return ("vp8x", w, h)
+    if fourcc == b"VP8L" and len(b) >= 25 and b[20] == 0x2F:
+        word = struct.unpack("<I", b[21:25])[0]
+        return ("vp8l", (word & 0x3FFF) + 1, ((word >> 14) & 0x3FFF) + 1)
+    return ("webp", None, None)
+
+
+@_q(
+    "multimodal_webp_dims",
+    f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'vp8x' ELSE 'vp8l' END AS variant,
+           CAST(16 + (doc_id * 11) % 1024 AS INT) AS width,
+           CAST(16 + (doc_id * 5) % 1024 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN {_VP8X_LEN} ELSE {_VP8L_LEN} END
+                AS BIGINT) AS byte_len
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_webp_dims(spark, sf):
+    """WebP header decode over a binary payload column — the third
+    container family next to ``multimodal_image_dims`` (PNG/JPEG) and
+    ``multimodal_wav_meta`` (WAV): a RIFF walk that dispatches on the
+    first chunk's FourCC, reading VP8X extended-format canvas dims
+    (24-bit LE width-1/height-1) or the VP8L lossless bitstream's packed
+    14-bit dims — per the public WebP container spec.  Same contract as
+    the other multimodal ops: synthesis and decode are two independent
+    vectorized UDFs, the parser sees only opaque bytes, the oracle
+    recomputes expected dims arithmetically, and the odd-sized VP8L chunk
+    exercises the RIFF even-boundary pad rule real streams carry.
+
+    Scale shape: both UDFs are Arrow-batched map work inside the scan's
+    stage — zero shuffles; at 100 TB the payload column never moves
+    (decode where the bytes live, emit the slim typed struct)."""
+
+    @F.pandas_udf("binary")
+    def synth_webp(doc_id: pd.Series) -> pd.Series:
+        def mk(i: int) -> bytes:
+            w, h = 16 + (i * 11) % 1024, 16 + (i * 5) % 1024
+            return (
+                _webp_vp8x_payload(w, h) if i % 2 == 0
+                else _webp_vp8l_payload(w, h)
+            )
+
+        return doc_id.map(lambda i: mk(int(i)))
+
+    @F.pandas_udf("variant string, width int, height int")
+    def decode_webp(payload: pd.Series) -> pd.DataFrame:
+        rows = [parse_webp_header(b) for b in payload]
+        return pd.DataFrame(rows, columns=["variant", "width", "height"])
+
+    d = load(spark, sf, "documents").select("doc_id")
+    return (
+        d.withColumn("payload", synth_webp("doc_id"))
+        .withColumn("img", decode_webp("payload"))
+        .select(
+            "doc_id",
+            F.col("img.variant").alias("variant"),
+            F.col("img.width").alias("width"),
+            F.col("img.height").alias("height"),
+            F.octet_length("payload").cast("long").alias("byte_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- CDC changelog MERGE (last-writer-wins upsert/delete apply) -------------
+
+_CDC_OPRANK_SQL = "CASE op WHEN 'D' THEN 3 WHEN 'U' THEN 2 ELSE 1 END"
+
+
+@_q(
+    "events_cdc_upsert_merge",
+    f"""
+    WITH base AS (
+      SELECT event_id, user_id FROM events
+    ),
+    changelog AS (
+      SELECT event_id, CAST(1 + event_id % 4 AS BIGINT) AS seq, 'U' AS op,
+             CAST(user_id + 1000000 AS BIGINT) AS new_user_id
+      FROM events WHERE event_id % 3 = 0
+      UNION ALL
+      SELECT event_id, CAST(2 + event_id % 3 AS BIGINT) AS seq, 'D' AS op,
+             CAST(NULL AS BIGINT) AS new_user_id
+      FROM events WHERE event_id % 7 = 0
+      UNION ALL
+      SELECT event_id + 1000000000 AS event_id,
+             CAST(1 AS BIGINT) AS seq, 'I' AS op,
+             CAST(event_id AS BIGINT) AS new_user_id
+      FROM events WHERE event_id % 11 = 0
+    ),
+    winner AS (
+      SELECT event_id, seq, op, new_user_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY event_id
+          ORDER BY seq DESC, {_CDC_OPRANK_SQL} DESC) AS rk
+        FROM changelog) WHERE rk = 1
+    )
+    SELECT COALESCE(b.event_id, w.event_id) AS event_id,
+           CASE WHEN w.event_id IS NULL THEN 'kept'
+                WHEN w.op = 'D' THEN 'deleted'
+                WHEN b.event_id IS NULL THEN 'inserted'
+                ELSE 'updated' END AS action,
+           COALESCE(w.op, '') <> 'D' AS is_present,
+           CASE WHEN w.event_id IS NULL THEN b.user_id
+                WHEN w.op = 'D' THEN NULL
+                ELSE w.new_user_id END AS user_id_final
+    FROM base b FULL OUTER JOIN winner w ON b.event_id = w.event_id
+    ORDER BY event_id
+    """,
+)
+def events_cdc_upsert_merge(spark, sf):
+    """CDC changelog apply — ``MERGE INTO`` semantics (Iceberg/Delta's
+    upsert primitive, and the reference's ``ON CONFLICT`` push,
+    postgres/provider.go:107-146) expressed in pure DataFrame algebra:
+    a changelog of (key, seq, op∈{{I,U,D}}, payload) rows collapses to one
+    winner per key (highest seq; ties break D > U > I so a same-seq
+    delete wins deterministically), then a single full-outer join against
+    the base snapshot produces the merged table — kept / updated /
+    inserted rows and explicit ``deleted`` tombstones (is_present=false).
+    The changelog is synthesized deterministically from event_id (updates
+    on key%3=0, deletes on key%7=0 — both hit keys%21=0, exercising
+    last-writer-wins; inserts arrive on fresh keys).
+
+    This is the sandbox's answer to the one gap SURVEY §7 left open
+    (no Iceberg jars ship here): MERGE = dedup-to-winner + one key-join,
+    which is exactly what the engine's delta-log checkpoint protocol runs
+    as its commit step.  Scale shape: the winner window and the merge join
+    share the SAME key partitioning, so one shuffle covers both (and the
+    changelog side — deltas are small by nature — broadcasts, leaving the
+    10^10-row base unshuffled: merge-on-read, not copy-on-write)."""
+    e = load(spark, sf, "events")
+    base = e.select("event_id", "user_id")
+    upd = e.filter(F.col("event_id") % 3 == 0).select(
+        "event_id",
+        (1 + F.col("event_id") % 4).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("user_id") + 1000000).cast("long").alias("new_user_id"),
+    )
+    dele = e.filter(F.col("event_id") % 7 == 0).select(
+        "event_id",
+        (2 + F.col("event_id") % 3).cast("long").alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("long").alias("new_user_id"),
+    )
+    ins = e.filter(F.col("event_id") % 11 == 0).select(
+        (F.col("event_id") + 1000000000).alias("event_id"),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("event_id").cast("long").alias("new_user_id"),
+    )
+    changelog = upd.unionByName(dele).unionByName(ins)
+    wk = Window.partitionBy("event_id").orderBy(
+        F.col("seq").desc(), F.expr(_CDC_OPRANK_SQL).desc()
+    )
+    winner = (
+        changelog.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    b = base.select(
+        F.col("event_id").alias("b_id"), F.col("user_id").alias("b_uid")
+    )
+    w = winner.select(
+        F.col("event_id").alias("w_id"), "seq", "op", "new_user_id"
+    )
+    return (
+        b.join(w, b.b_id == w.w_id, "full_outer")
+        .select(
+            F.coalesce("b_id", "w_id").alias("event_id"),
+            F.when(F.col("w_id").isNull(), F.lit("kept"))
+            .when(F.col("op") == "D", F.lit("deleted"))
+            .when(F.col("b_id").isNull(), F.lit("inserted"))
+            .otherwise(F.lit("updated"))
+            .alias("action"),
+            (F.coalesce(F.col("op"), F.lit("")) != "D").alias("is_present"),
+            F.when(F.col("w_id").isNull(), F.col("b_uid"))
+            .when(F.col("op") == "D", F.lit(None).cast("long"))
+            .otherwise(F.col("new_user_id"))
+            .alias("user_id_final"),
+        )
+        .orderBy("event_id")
+    )

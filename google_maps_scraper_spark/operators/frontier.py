@@ -1136,3 +1136,180 @@ def frontier_ip_politeness_group(spark, sf):
         )
         .orderBy("ip24")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recrawl scheduling — Poisson change-rate estimation (Cho & Garcia-Molina)
+# ---------------------------------------------------------------------------
+
+_RECRAWL_VISITS = 6  # equal-interval revisit history depth per URL
+
+
+@_q(
+    "frontier_recrawl_poisson",
+    f"""
+    WITH visits AS (
+      SELECT d.doc_id, g.v,
+             ((d.doc_id * 2654435761 + g.v * 40503) % 97 < 25) AS changed
+      FROM documents d, generate_series(1, {_RECRAWL_VISITS}) AS g(v)
+    ),
+    est AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_visits,
+             CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changes
+      FROM visits GROUP BY doc_id
+    )
+    SELECT doc_id, n_visits, n_changes,
+           CAST(row_number() OVER (ORDER BY n_changes DESC, doc_id ASC)
+                AS BIGINT) AS recrawl_rank,
+           CASE WHEN n_changes >= 3 THEN 'hot'
+                WHEN n_changes >= 1 THEN 'warm'
+                ELSE 'cold' END AS due_bucket
+    FROM est ORDER BY doc_id
+    """,
+)
+def frontier_recrawl_poisson(spark, sf):
+    """Per-URL change-rate estimation for recrawl scheduling — the policy
+    step AFTER ``frontier_recrawl_diff``'s change verdicts: Cho &
+    Garcia-Molina's Poisson revisit model (TOIT 2003) estimates each page's
+    change rate from an equal-interval visit history and orders the recrawl
+    frontier by it.  The estimator λ̂ = −ln((n − X + 0.5)/(n + 0.5))/Δ is
+    strictly monotone in X (detected changes) at fixed (n, Δ), so the
+    integer pair (n_changes, doc_id) carries the EXACT Poisson priority
+    order — the float λ̂ map stays out of the compared output (exact-output
+    rule, same as ``docs_unigram_lm_rarity``).  History is synthesized
+    deterministically: {_RECRAWL_VISITS} equal-interval visits per URL,
+    visit v of doc_id changed iff (doc_id·2654435761 + v·40503) mod 97 < 25
+    (~26% per-visit change odds, binomial spread over docs) — both engines
+    derive identical histories and every due_bucket is populated.
+
+    Scale shape: the history explode is a map-side ``generate_series``
+    fanout (no shuffle — at 10^10 URLs the real input is the fetch log,
+    already partitioned by url hash), the estimate is one partial-agg
+    groupBy on the same key, and the global rank window is the frontier's
+    existing priority-drain discipline (``frontier_claim_topk``) — in the
+    engine the rank runs per politeness bucket, so no single-reducer
+    global sort exists at scale; it is global here only to make the
+    oracle's total order checkable."""
+    d = load(spark, sf, "documents").select("doc_id")
+    visits = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.lit(_RECRAWL_VISITS))).alias("v"),
+    ).withColumn(
+        # Fibonacci-multiplier visit hash → ~26%-per-visit change odds with
+        # a binomial spread over docs, so every due_bucket is populated
+        "changed",
+        (F.col("doc_id") * F.lit(2654435761) + F.col("v") * 40503) % 97 < 25,
+    )
+    est = visits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_visits"),
+        F.sum(F.when(F.col("changed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_changes"),
+    )
+    w = Window.orderBy(F.col("n_changes").desc(), F.col("doc_id").asc())
+    return (
+        est.withColumn("recrawl_rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "due_bucket",
+            F.when(F.col("n_changes") >= 3, F.lit("hot"))
+            .when(F.col("n_changes") >= 1, F.lit("warm"))
+            .otherwise(F.lit("cold")),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# WARC revisit-record collapse — digest dedup within a URL's capture history
+# ---------------------------------------------------------------------------
+
+_REVISIT_CAPTURES = 3  # crawl snapshots per URL
+
+
+@_q(
+    "frontier_warc_revisit_collapse",
+    f"""
+    WITH caps AS (
+      SELECT d.doc_id, g.k,
+             CASE WHEN g.k > 1
+                    AND (d.doc_id * 48271 + g.k * 16807) % 101 < 30
+                  THEN 1 ELSE 0 END AS changed
+      FROM documents d, generate_series(1, {_REVISIT_CAPTURES}) AS g(k)
+    ),
+    ver AS (
+      SELECT doc_id, k,
+             CAST(1 + SUM(changed) OVER (
+               PARTITION BY doc_id ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS version
+      FROM caps
+    ),
+    refs AS (
+      SELECT doc_id, k AS capture, version,
+             CAST(MIN(k) OVER (PARTITION BY doc_id, version) AS BIGINT)
+               AS ref_capture
+      FROM ver
+    )
+    SELECT doc_id, CAST(capture AS BIGINT) AS capture, version,
+           capture <> ref_capture AS is_revisit,
+           ref_capture,
+           CAST(CASE WHEN capture <> ref_capture THEN 0
+                     ELSE 800 + (doc_id * 97 + version * 13) % 4000
+                END AS BIGINT) AS payload_bytes
+    FROM refs ORDER BY doc_id, capture
+    """,
+)
+def frontier_warc_revisit_collapse(spark, sf):
+    """WARC ``revisit`` record synthesis — the archive-side dual of the
+    recrawl ops: when a capture's content digest equals an EARLIER capture
+    of the same URL, the WARC writer stores a payload-less revisit record
+    pointing at the original (WARC 1.1 §6.7.2 identical-payload-digest;
+    Common Crawl's and the Wayback Machine's storage discipline).  Capture
+    histories are synthesized deterministically ({_REVISIT_CAPTURES}
+    captures/URL, capture k>1 changed iff (doc_id·48271 + k·16807) mod 101
+    < 30, content version = 1 + running change count), so "same digest" =
+    "same version" and the reference capture is the version's first.
+    ``payload_bytes`` makes the storage win explicit: revisits store 0.
+
+    Scale shape: ONE shuffle on the URL key covers both windows (the
+    running version sum and the per-(url, version) first-capture) — at
+    10^10 URLs this is the url-hash partitioning the frontier already
+    maintains, so the collapse runs as a partition-local sort, the same
+    discipline as ``frontier_warc_cdx_index``'s offset prefix-sum; the
+    digest compare never leaves the partition because a URL's history is
+    co-located by construction."""
+    d = load(spark, sf, "documents").select("doc_id")
+    caps = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.lit(_REVISIT_CAPTURES))).alias("k"),
+    ).withColumn(
+        "changed",
+        F.when(
+            (F.col("k") > 1)
+            & ((F.col("doc_id") * 48271 + F.col("k") * 16807) % 101 < 30),
+            1,
+        ).otherwise(0),
+    )
+    wv = (
+        Window.partitionBy("doc_id")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ver = caps.withColumn(
+        "version", (F.lit(1) + F.sum("changed").over(wv)).cast("long")
+    )
+    wr = Window.partitionBy("doc_id", "version")
+    refs = ver.withColumn("ref_capture", F.min("k").over(wr).cast("long"))
+    return refs.select(
+        "doc_id",
+        F.col("k").cast("long").alias("capture"),
+        "version",
+        (F.col("k") != F.col("ref_capture")).alias("is_revisit"),
+        "ref_capture",
+        F.when(F.col("k") != F.col("ref_capture"), F.lit(0))
+        .otherwise(800 + (F.col("doc_id") * 97 + F.col("version") * 13) % 4000)
+        .cast("long")
+        .alias("payload_bytes"),
+    ).orderBy("doc_id", "capture")

