@@ -1313,3 +1313,98 @@ def frontier_warc_revisit_collapse(spark, sf):
         .cast("long")
         .alias("payload_bytes"),
     ).orderBy("doc_id", "capture")
+
+
+# ---------------------------------------------------------------------------
+# URL-level quality gate — blocklist + soft keyword/digit scoring
+# ---------------------------------------------------------------------------
+
+_URL_BLOCKLIST = ("site-src3.com", "site-src7.com", "site-src13.com")
+_URL_SOFT_KEYWORDS = ("crawl", "feed", "campaign")
+_URL_DIGIT_PERMILLE_MAX = 250
+
+
+@_q(
+    "frontier_url_blocklist_filter",
+    f"""
+    WITH {_URL_CANON_CTES},
+    h AS (
+      SELECT doc_id, url_raw, url_canon,
+             COALESCE(regexp_extract(url_canon, '^[a-z]+://([^/:?#]+)', 1),
+                      '') AS host
+      FROM canon_url),
+    s AS (
+      SELECT doc_id, host,
+             CAST({' + '.join(
+                 f"len(regexp_extract_all(lower(url_raw), '{k}'))"
+                 for k in _URL_SOFT_KEYWORDS)} AS BIGINT) AS kw_score,
+             CAST(len(regexp_extract_all(url_raw, '[0-9]')) * 1000
+                  // length(url_raw) AS BIGINT) AS digit_permille,
+             host IN {_URL_BLOCKLIST} AS blocked_domain
+      FROM h)
+    SELECT doc_id, host, kw_score, digit_permille, blocked_domain,
+           CASE WHEN blocked_domain THEN 'blocked'
+                WHEN kw_score >= 2
+                     OR digit_permille > {_URL_DIGIT_PERMILLE_MAX}
+                  THEN 'flagged'
+                ELSE 'clean' END AS verdict
+    FROM s ORDER BY doc_id
+    """,
+)
+def frontier_url_blocklist_filter(spark, sf):
+    """URL-level quality gate — the admission stage RefinedWeb §G.1 /
+    FineWeb run BEFORE fetching or keeping a page: a hard domain blocklist
+    (UT1-style, here a literal eTLD+1 list standing in for the ~4M-entry
+    production list) plus soft URL scoring — total occurrences of
+    flag keywords {_URL_SOFT_KEYWORDS} in the lowercased raw URL and the
+    URL's digit density (link-farm/session-id smell), flagged past
+    {_URL_DIGIT_PERMILLE_MAX}‰.  Hard block wins over soft flags; scores
+    stay exact integers.  The host comes from the SAME canonical string
+    the frontier keys on (``frontier_url_canonicalize``), so the gate and
+    the dedup key can never disagree about what the domain is.
+
+    Scale shape: pure scan-stage JVM regex over the URL column — zero
+    shuffles (the ORDER BY is presentation only).  The production
+    blocklist is a broadcast join against a 4M-row dim table instead of an
+    IN literal — same plan shape as ``broadcast_dim_rollup``; soft scores
+    stay map-side either way.  At 10^10 URLs this gate runs where the
+    frontier rows already live, before any fetch budget is spent — the
+    cheapest reject in the pipeline."""
+    kw = None
+    for k in _URL_SOFT_KEYWORDS:
+        term = F.expr(f"size(regexp_extract_all(lower(url_raw), '{k}', 0))")
+        kw = term if kw is None else kw + term
+    c = frontier_url_canonicalize(spark, sf).select("doc_id", "url_raw", "url_canon")
+    return (
+        c.withColumn(
+            "host",
+            F.regexp_extract("url_canon", "^[a-z]+://([^/:?#]+)", 1),
+        )
+        .withColumn("kw_score", kw.cast("long"))
+        .withColumn(
+            "digit_permille",
+            F.expr(
+                "CAST(size(regexp_extract_all(url_raw, '[0-9]', 0)) * 1000"
+                " div length(url_raw) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "blocked_domain", F.col("host").isin(*_URL_BLOCKLIST)
+        )
+        .select(
+            "doc_id",
+            "host",
+            "kw_score",
+            "digit_permille",
+            "blocked_domain",
+            F.when(F.col("blocked_domain"), F.lit("blocked"))
+            .when(
+                (F.col("kw_score") >= 2)
+                | (F.col("digit_permille") > _URL_DIGIT_PERMILLE_MAX),
+                F.lit("flagged"),
+            )
+            .otherwise(F.lit("clean"))
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )

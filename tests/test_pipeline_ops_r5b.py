@@ -160,3 +160,54 @@ def test_cdc_upsert_merge_matches_python(spark):
         if len({s for s, _, _ in changes[e]}) < len(changes[e])
     ]
     assert ties and all(want[e][0] == "deleted" for e in ties)
+
+
+def test_url_blocklist_filter_matches_python(spark):
+    import re as _re
+
+    from google_maps_scraper_spark.operators.analytics import (
+        frontier_url_canonicalize,
+    )
+    from google_maps_scraper_spark.operators.frontier import (
+        _URL_BLOCKLIST,
+        _URL_DIGIT_PERMILLE_MAX,
+        _URL_SOFT_KEYWORDS,
+        frontier_url_blocklist_filter,
+    )
+
+    canon = {
+        r["doc_id"]: (r["url_raw"], r["url_canon"])
+        for r in frontier_url_canonicalize(spark, SF).collect()
+    }
+    got = {
+        r["doc_id"]: r
+        for r in frontier_url_blocklist_filter(spark, SF).collect()
+    }
+    assert set(got) == set(canon)
+    verdicts = set()
+    for d, (raw, cu) in canon.items():
+        m = _re.match(r"^[a-z]+://([^/:?#]+)", cu)
+        host = m.group(1) if m else ""
+        kw = sum(len(_re.findall(k, raw.lower())) for k in _URL_SOFT_KEYWORDS)
+        dp = len(_re.findall(r"[0-9]", raw)) * 1000 // len(raw)
+        blocked = host in _URL_BLOCKLIST
+        verdict = (
+            "blocked" if blocked
+            else "flagged" if kw >= 2 or dp > _URL_DIGIT_PERMILLE_MAX
+            else "clean"
+        )
+        r = got[d]
+        assert (
+            r["host"], r["kw_score"], r["digit_permille"],
+            r["blocked_domain"], r["verdict"],
+        ) == (host, kw, dp, blocked, verdict), d
+        verdicts.add(verdict)
+    assert verdicts == {"blocked", "flagged", "clean"}
+    # hard block must win over soft signals: some blocked row also carries
+    # a nonzero soft score and still reads 'blocked', never 'flagged'
+    # (the flag-tier thresholds never coincide with a blocked domain at
+    # this sf — the synthesis shapes have opposite parity)
+    assert any(
+        r["verdict"] == "blocked" and r["kw_score"] >= 1
+        for r in got.values()
+    )
