@@ -787,3 +787,129 @@ def graph_kcore_2iter(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spam mass — blocklist-personalized PageRank share (TrustRank inverted)
+# ---------------------------------------------------------------------------
+
+# the URL quality gate's blocked domains (operators/frontier.py
+# _URL_BLOCKLIST: site-src{3,7,13}.com), projected onto the doc graph via
+# source = 'src' || doc_id % 20
+_SPAM_SEED_RESIDUES = (3, 7, 13)
+_SPAM_MASS_SUSPECT_PERMILLE = 250  # flags spam-adjacent non-seeds at every sf
+
+
+@_register(
+    "graph_spam_mass_2iter",
+    f"""
+    WITH {_EDGES_CTE},
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY src),
+    seed AS (SELECT doc_id, doc_id % 20 IN {_SPAM_SEED_RESIDUES} AS is_seed
+             FROM documents),
+    r0 AS (SELECT doc_id AS src, CAST({_PR_ONE} AS BIGINT) AS r FROM documents),
+    c1 AS (SELECT e.dst, CAST(SUM(r0.r // deg.out_deg) AS BIGINT) AS s
+           FROM e JOIN deg USING (src) JOIN r0 USING (src) GROUP BY e.dst),
+    r1 AS (SELECT d.doc_id AS src,
+                  CAST({_PR_BASE} + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS r
+           FROM documents d LEFT JOIN c1 ON c1.dst = d.doc_id),
+    c2 AS (SELECT e.dst, CAST(SUM(r1.r // deg.out_deg) AS BIGINT) AS s
+           FROM e JOIN deg USING (src) JOIN r1 USING (src) GROUP BY e.dst),
+    r2 AS (SELECT d.doc_id,
+                  CAST({_PR_BASE} + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT)
+                    AS pr_scaled
+           FROM documents d LEFT JOIN c2 ON c2.dst = d.doc_id),
+    s0 AS (SELECT s.doc_id AS src,
+                  CAST(CASE WHEN s.is_seed THEN {_PR_ONE} ELSE 0 END AS BIGINT)
+                    AS r
+           FROM seed s),
+    sc1 AS (SELECT e.dst, CAST(SUM(s0.r // deg.out_deg) AS BIGINT) AS s
+            FROM e JOIN deg USING (src) JOIN s0 USING (src) GROUP BY e.dst),
+    s1 AS (SELECT sd.doc_id AS src,
+                  CAST(CASE WHEN sd.is_seed THEN {_PR_BASE} ELSE 0 END
+                       + (85 * COALESCE(sc1.s, 0)) // 100 AS BIGINT) AS r
+           FROM seed sd LEFT JOIN sc1 ON sc1.dst = sd.doc_id),
+    sc2 AS (SELECT e.dst, CAST(SUM(s1.r // deg.out_deg) AS BIGINT) AS s
+            FROM e JOIN deg USING (src) JOIN s1 USING (src) GROUP BY e.dst),
+    s2 AS (SELECT sd.doc_id,
+                  CAST(CASE WHEN sd.is_seed THEN {_PR_BASE} ELSE 0 END
+                       + (85 * COALESCE(sc2.s, 0)) // 100 AS BIGINT)
+                    AS spam_scaled
+           FROM seed sd LEFT JOIN sc2 ON sc2.dst = sd.doc_id)
+    SELECT r2.doc_id, r2.pr_scaled, s2.spam_scaled,
+           CAST(s2.spam_scaled * 1000 // r2.pr_scaled AS BIGINT)
+             AS spam_mass_permille,
+           s2.spam_scaled * 1000 // r2.pr_scaled
+             > {_SPAM_MASS_SUSPECT_PERMILLE} AS is_spam_suspect
+    FROM r2 JOIN s2 USING (doc_id) ORDER BY r2.doc_id
+    """,
+)
+def graph_spam_mass_2iter(spark, sf):
+    """Spam mass (Gyöngyi et al., TrustRank/spam-mass line of work): the
+    share of a page's PageRank that arrives FROM a known-bad seed set —
+    here the URL quality gate's blocked domains
+    (``frontier_url_blocklist_filter``) projected onto the doc graph.
+    Two propagations run over the SAME edges and out-degrees with the same
+    scaled-integer arithmetic as ``graph_pagerank_2iter`` (1.0 ≡ 10^6,
+    ``div`` throughout — bit-exact across engines, no float summation
+    order): the uniform one (plain PageRank) and one whose restart mass is
+    concentrated on the spam seeds.  spam_mass‰ = 1000·spamrank/pagerank;
+    pages past {_SPAM_MASS_SUSPECT_PERMILLE}‰ are flagged — link
+    neighborhoods that inherit most of their rank from blocked domains,
+    the crawl-frontier demotion signal the blocklist alone cannot give
+    (it only sees the seeds themselves).
+
+    Scale shape: identical to PageRank's — per iteration ONE exchange
+    (contributions groupBy dst, partial-aggregated map-side); the two
+    propagations share the edge+degree table, and the final permille is a
+    co-partitioned join on doc_id.  Everything the 10^10-node argument for
+    ``graph_pagerank_2iter`` says applies unchanged."""
+    edges = doc_edges(spark, sf)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    edges_deg = edges.join(deg, "src")
+    nodes = load(spark, sf, "documents").select("doc_id")
+    seed_pred = F.col("doc_id").cast("long") % 20
+    is_seed = seed_pred.isin(*_SPAM_SEED_RESIDUES)
+
+    def step(ranks, base_col):
+        contrib = (
+            edges_deg.join(ranks, "src")
+            .select("dst", F.expr("r div out_deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        return nodes.join(contrib, nodes.doc_id == contrib.dst, "left").select(
+            F.col("doc_id").alias("src"),
+            (base_col + F.expr("85 * coalesce(s, 0) div 100")).cast("long").alias("r"),
+        )
+
+    uni_base = F.lit(_PR_BASE)
+    spam_base = F.when(is_seed, F.lit(_PR_BASE)).otherwise(F.lit(0))
+    pr = nodes.select(
+        F.col("doc_id").alias("src"), F.lit(_PR_ONE).cast("long").alias("r")
+    )
+    sr = nodes.select(
+        F.col("doc_id").alias("src"),
+        F.when(is_seed, F.lit(_PR_ONE)).otherwise(F.lit(0)).cast("long").alias("r"),
+    )
+    for _ in range(2):
+        pr = step(pr, uni_base)
+        sr = step(sr, spam_base)
+    pr = pr.select(F.col("src").alias("doc_id"), F.col("r").alias("pr_scaled"))
+    sr = sr.select(F.col("src").alias("doc_id"), F.col("r").alias("spam_scaled"))
+    return (
+        pr.join(sr, "doc_id")
+        .select(
+            "doc_id",
+            "pr_scaled",
+            "spam_scaled",
+            F.expr("CAST(spam_scaled * 1000 div pr_scaled AS BIGINT)").alias(
+                "spam_mass_permille"
+            ),
+            (
+                F.expr("spam_scaled * 1000 div pr_scaled")
+                > _SPAM_MASS_SUSPECT_PERMILLE
+            ).alias("is_spam_suspect"),
+        )
+        .orderBy("doc_id")
+    )

@@ -211,3 +211,61 @@ def test_url_blocklist_filter_matches_python(spark):
         r["verdict"] == "blocked" and r["kw_score"] >= 1
         for r in got.values()
     )
+
+
+def test_spam_mass_matches_python(spark):
+    from google_maps_scraper_spark.operators.graph import (
+        _PR_BASE,
+        _PR_ONE,
+        _SPAM_MASS_SUSPECT_PERMILLE,
+        _SPAM_SEED_RESIDUES,
+        EDGE_FANOUT,
+        graph_spam_mass_2iter,
+    )
+
+    doc_ids = sorted(
+        r["doc_id"]
+        for r in load(spark, SF, "documents").select("doc_id").collect()
+    )
+    n = len(doc_ids)
+    edges = set()
+    for d in doc_ids:
+        for j in range(EDGE_FANOUT):
+            dst = (d * (j + 2) + j) % n
+            if dst != d:
+                edges.add((d, dst))
+    out_deg: dict[int, int] = {}
+    for s, _ in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+
+    def step(r, base):
+        contrib: dict[int, int] = {}
+        for s, t in edges:
+            contrib[t] = contrib.get(t, 0) + r[s] // out_deg[s]
+        return {
+            d: base(d) + 85 * contrib.get(d, 0) // 100 for d in doc_ids
+        }
+
+    seeds = {d for d in doc_ids if d % 20 in _SPAM_SEED_RESIDUES}
+    pr = {d: _PR_ONE for d in doc_ids}
+    sr = {d: _PR_ONE if d in seeds else 0 for d in doc_ids}
+    for _ in range(2):
+        pr = step(pr, lambda d: _PR_BASE)
+        sr = step(sr, lambda d: _PR_BASE if d in seeds else 0)
+
+    got = {r["doc_id"]: r for r in graph_spam_mass_2iter(spark, SF).collect()}
+    assert set(got) == set(doc_ids)
+    for d in doc_ids:
+        r = got[d]
+        permille = sr[d] * 1000 // pr[d]
+        assert r["pr_scaled"] == pr[d], d
+        assert r["spam_scaled"] == sr[d], d
+        assert r["spam_mass_permille"] == permille, d
+        assert r["is_spam_suspect"] == (
+            permille > _SPAM_MASS_SUSPECT_PERMILLE
+        ), d
+    # the signal the blocklist alone cannot give: some flagged page is NOT
+    # itself a blocked-domain seed, and not every page is flagged
+    suspects = {d for d in doc_ids if got[d]["is_spam_suspect"]}
+    assert suspects - seeds
+    assert suspects and len(suspects) < n
