@@ -1253,12 +1253,14 @@ def emb_semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape — the whole point of SemDeDup vs ``emb_neardup_pairs``:
     the quadratic compare is confined WITHIN cells, so total work is
     Σ n_c² ≈ N²/nlist instead of N², and the only wide operation is the
-    cell-keyed self-join (storage-partitioned and shuffle-free once the
-    table is written bucketed by cell, exactly like the IVF query's probe
-    scan).  At 10^10 rows nlist grows to ~√N k-means cells trained on a
-    driver-sized sample (Faiss discipline) and each cell's pair block is
-    one in-memory GEMM tile (``neardup_pairs_blocked`` is the in-cell
-    kernel at that scale).  The recall trade is measured, not asserted:
+    cell-keyed groupBy feeding one numpy GEMM tile per cell
+    (``applyInPandas``; margin-gated candidates re-verified JVM-side with
+    the exact 3-dp cosine, the ``neardup_pairs_blocked`` discipline — and
+    shuffle-free once the table is written bucketed by cell, exactly like
+    the IVF query's probe scan).  At 10^10 rows nlist grows to ~√N
+    k-means cells trained on a driver-sized sample (Faiss discipline), so
+    tile height stays bounded by the cell size the quantizer targets.
+    The recall trade is measured, not asserted:
     at sf0.01 the 16-cell quantizer sees 9 of the 59 global ≥τ pairs
     inside cells — the nlist dial trades that recall against the N²/nlist
     compare budget (nlist=1 is exact and quadratic; the paper runs ~10⁵
@@ -1275,34 +1277,46 @@ def emb_semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
         [float(x) for x in r["embedding"]]
         for r in sorted(crows, key=lambda r: r["vec_id"])
     ]
+    import numpy as np
+    import pandas as pd
+
     cells = ivf_cells(emb, cents).select("vec_id", "embedding", "cell")
-    a = cells.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_emb"),
-        F.col("cell").alias("a_cell"),
-    )
-    b = cells.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_emb"),
-        F.col("cell").alias("b_cell"),
-    )
-    norm = lambda c: F.sqrt(_dot(c, c))  # noqa: E731
-    dropped = (
-        a.join(b, (a.a_cell == b.b_cell) & (b.b_id < a.a_id))
-        .withColumn(
-            # 3-dp round BEFORE the ≥τ gate — the engine-wide discipline
-            # (every cosine threshold in this module) that makes the gate
-            # itself value-checkable across engines instead of exposed to
-            # sub-milli float divergence at the boundary
-            "cos_r3",
-            F.round(
-                _dot(F.col("a_emb"), F.col("b_emb"))
-                / (norm(F.col("a_emb")) * norm(F.col("b_emb"))),
-                3,
-            ),
+
+    # Within-cell compare = one numpy GEMM tile per cell (exactly the
+    # "in-cell kernel" the scale note promises — the pure-DataFrame
+    # self-join materializes two 64-float arrays into every pair row,
+    # measured 5-11 s at sf0.1 for the same answer).  Same discipline as
+    # ``neardup_pairs_blocked``: the GEMM is a CANDIDATE filter at a
+    # margin below τ (numpy and the JVM fold sum in different orders), and
+    # survivors are re-verified JVM-side with the exact 3-dp-rounded
+    # cosine, so the compared output never depends on numpy arithmetic.
+    margin = _SEMDEDUP_TAU - 5e-4 - 1e-6
+    _empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                           "vec_b": pd.Series(dtype="int64")})
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return _empty
+        ids = pdf["vec_id"].to_numpy("int64")
+        order = np.argsort(ids)
+        ids = ids[order]
+        E = np.stack(pdf["embedding"].to_numpy()[order]).astype("float64")
+        E /= np.linalg.norm(E, axis=1, keepdims=True)
+        sims = E @ E.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = sims[iu, ju] >= margin
+        return pd.DataFrame(
+            {"vec_a": ids[iu[hit]], "vec_b": ids[ju[hit]]}
         )
+
+    cand = cells.groupBy("cell").applyInPandas(
+        cell_pairs, "vec_a bigint, vec_b bigint"
+    )
+    dropped = (
+        _pair_cosine(emb, cand)
         .filter(F.col("cos_r3") >= F.lit(_SEMDEDUP_TAU))
-        .select(F.col("a_id").alias("vec_id"))
+        # keep-lowest-id: any id with a lower-id ≥τ match in its cell drops
+        .select(F.col("vec_b").alias("vec_id"))
         .distinct()
         .withColumn("is_dropped", F.lit(True))
     )
