@@ -1408,3 +1408,103 @@ def frontier_url_blocklist_filter(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive politeness — integer EWMA of fetch latency → crawl-delay
+# ---------------------------------------------------------------------------
+
+_EWMA_FETCHES = 6       # smoothing horizon (fetch history depth per URL/host)
+_EWMA_DELAY_FACTOR = 4  # crawl_delay = factor × smoothed latency (AIMD-ish)
+_EWMA_DELAY_MIN = 500   # ms floor
+_EWMA_DELAY_MAX = 1000  # ms ceiling
+_EWMA_SLOW_MS = 240     # smoothed latency past this flags a slow host
+
+
+def _ewma_sql(lat) -> str:
+    """Unrolled integer EWMA (α=1/8): e1 = lat(1); e_k = (7·e_{k-1} +
+    lat(k)) div 8 — integer division each step, so the recursion is NOT a
+    closed-form sum and must be unrolled identically in both engines.
+    ``lat(k)`` is rendered by the caller (same string for Spark and
+    DuckDB; both use BIGINT arithmetic and `//`/`div` floor division on
+    non-negative values)."""
+    expr = lat(1)
+    for k in range(2, _EWMA_FETCHES + 1):
+        expr = f"(7 * ({expr}) + {lat(k)})"
+        # Spark `div` / DuckDB `//` — caller substitutes the operator
+        expr = expr + " {D} 8"
+    return expr
+
+
+_LAT = "(80 + (doc_id * 131 + {k} * 17) % 241)"
+_EWMA_EXPR_DUCK = _ewma_sql(lambda k: _LAT.format(k=k)).replace("{D}", "//")
+_EWMA_EXPR_SPARK = _ewma_sql(lambda k: _LAT.format(k=k)).replace("{D}", "div")
+
+
+@_q(
+    "frontier_host_rate_ewma",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST({_EWMA_EXPR_DUCK}
+                  AS BIGINT) AS ewma_ms,
+             CAST(LEAST({', '.join(_LAT.format(k=k)
+                                   for k in range(1, _EWMA_FETCHES + 1))})
+                  AS BIGINT) AS min_lat_ms,
+             CAST(GREATEST({', '.join(_LAT.format(k=k)
+                                      for k in range(1, _EWMA_FETCHES + 1))})
+                  AS BIGINT) AS max_lat_ms
+      FROM documents)
+    SELECT doc_id, ewma_ms, min_lat_ms, max_lat_ms,
+           CAST(LEAST({_EWMA_DELAY_MAX},
+                      GREATEST({_EWMA_DELAY_MIN},
+                               ewma_ms * {_EWMA_DELAY_FACTOR})) AS BIGINT)
+             AS crawl_delay_ms,
+           ewma_ms > {_EWMA_SLOW_MS} AS slow_host
+    FROM s ORDER BY doc_id
+    """,
+)
+def frontier_host_rate_ewma(spark, sf):
+    """Adaptive politeness — the feedback loop a fixed per-host budget
+    lacks: smooth each host's observed fetch latency with an integer EWMA
+    (α=1/8, the classic TCP RTT estimator form) and derive the crawl
+    delay from it ({_EWMA_DELAY_FACTOR}× smoothed latency, clamped to
+    [{_EWMA_DELAY_MIN}, {_EWMA_DELAY_MAX}] ms) — slow servers get backed
+    off automatically, fast ones get crawled at full budget, the
+    discipline polite crawlers (Heritrix's delay-factor, the reference's
+    fixed politeness budget) parameterize by hand.  The integer recursion
+    e_k = (7·e_{{k-1}} + lat_k) div 8 is UNROLLED identically in both
+    engines (integer div makes it non-associative — no closed form), and
+    latencies are a closed form of (doc_id, fetch#), so both engines
+    derive identical histories.
+
+    Scale shape: ZERO shuffles — the history is a closed form, so the
+    whole pipeline (six latencies, the unrolled EWMA, the clamp) is one
+    codegen'd projection inside the scan; in production the latencies
+    come from the fetch log pre-aggregated per host, and the EWMA folds
+    in the same partition-local pass that writes the politeness-budget
+    table (the per-(host,salt) key the claim window already uses)."""
+    lat = lambda k: _LAT.format(k=k)  # noqa: E731
+    mins = ", ".join(lat(k) for k in range(1, _EWMA_FETCHES + 1))
+    ew = _EWMA_EXPR_SPARK
+    return (
+        load(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.expr(f"CAST({ew} AS BIGINT)").alias("ewma_ms"),
+            F.expr(f"CAST(least({mins}) AS BIGINT)").alias("min_lat_ms"),
+            F.expr(f"CAST(greatest({mins}) AS BIGINT)").alias("max_lat_ms"),
+        )
+        .select(
+            "doc_id",
+            "ewma_ms",
+            "min_lat_ms",
+            "max_lat_ms",
+            F.expr(
+                f"CAST(least({_EWMA_DELAY_MAX}, greatest({_EWMA_DELAY_MIN},"
+                f" ewma_ms * {_EWMA_DELAY_FACTOR})) AS BIGINT)"
+            ).alias("crawl_delay_ms"),
+            (F.col("ewma_ms") > _EWMA_SLOW_MS).alias("slow_host"),
+        )
+        .orderBy("doc_id")
+    )

@@ -269,3 +269,47 @@ def test_spam_mass_matches_python(spark):
     suspects = {d for d in doc_ids if got[d]["is_spam_suspect"]}
     assert suspects - seeds
     assert suspects and len(suspects) < n
+
+
+def test_host_rate_ewma_matches_python(spark):
+    from google_maps_scraper_spark.operators.frontier import (
+        _EWMA_DELAY_FACTOR,
+        _EWMA_DELAY_MAX,
+        _EWMA_DELAY_MIN,
+        _EWMA_FETCHES,
+        _EWMA_SLOW_MS,
+        frontier_host_rate_ewma,
+    )
+
+    doc_ids = [
+        r["doc_id"]
+        for r in load(spark, SF, "documents").select("doc_id").collect()
+    ]
+    got = {r["doc_id"]: r for r in frontier_host_rate_ewma(spark, SF).collect()}
+    assert set(got) == set(doc_ids)
+    regimes = set()
+    for d in doc_ids:
+        lats = [
+            80 + (d * 131 + k * 17) % 241
+            for k in range(1, _EWMA_FETCHES + 1)
+        ]
+        # the integer recursion, step by step — div each step, so order
+        # of operations matters (no closed form)
+        e = lats[0]
+        for lv in lats[1:]:
+            e = (7 * e + lv) // 8
+        delay = min(_EWMA_DELAY_MAX, max(_EWMA_DELAY_MIN, e * _EWMA_DELAY_FACTOR))
+        r = got[d]
+        assert r["ewma_ms"] == e, d
+        assert r["min_lat_ms"] == min(lats), d
+        assert r["max_lat_ms"] == max(lats), d
+        assert r["crawl_delay_ms"] == delay, d
+        assert r["slow_host"] == (e > _EWMA_SLOW_MS), d
+        regimes.add(
+            "floor" if delay == _EWMA_DELAY_MIN
+            else "ceiling" if delay == _EWMA_DELAY_MAX
+            else "proportional"
+        )
+    # the fixture latencies must exercise the whole clamp: backed-off slow
+    # hosts, floor-rate fast hosts, and the proportional band between
+    assert regimes == {"floor", "ceiling", "proportional"}
