@@ -1150,7 +1150,7 @@ _RECRAWL_VISITS = 6  # equal-interval revisit history depth per URL
     f"""
     WITH visits AS (
       SELECT d.doc_id, g.v,
-             ((d.doc_id * 2654435761 + g.v * 40503) % 97 < 25) AS changed
+             (((d.doc_id % 97) * 2654435761 + g.v * 40503) % 97 < 25) AS changed
       FROM documents d, generate_series(1, {_RECRAWL_VISITS}) AS g(v)
     ),
     est AS (
@@ -1180,7 +1180,10 @@ def frontier_recrawl_poisson(spark, sf):
     order — the float λ̂ map stays out of the compared output (exact-output
     rule, same as ``docs_unigram_lm_rarity``).  History is synthesized
     deterministically: {_RECRAWL_VISITS} equal-interval visits per URL,
-    visit v of doc_id changed iff (doc_id·2654435761 + v·40503) mod 97 < 25
+    visit v of doc_id changed iff ((doc_id mod 97)·2654435761 + v·40503)
+    mod 97 < 25 (pre-reduced so the product never overflows int64 even at
+    10^10-URL doc_ids — Spark non-ANSI would wrap silently where DuckDB
+    raises, so the bound is load-bearing for oracle parity)
     (~26% per-visit change odds, binomial spread over docs) — both engines
     derive identical histories and every due_bucket is populated.
 
@@ -1198,9 +1201,13 @@ def frontier_recrawl_poisson(spark, sf):
         F.explode(F.sequence(F.lit(1), F.lit(_RECRAWL_VISITS))).alias("v"),
     ).withColumn(
         # Fibonacci-multiplier visit hash → ~26%-per-visit change odds with
-        # a binomial spread over docs, so every due_bucket is populated
+        # a binomial spread over docs, so every due_bucket is populated.
+        # doc_id is reduced mod 97 BEFORE the multiply so the intermediate
+        # stays ≤ 96·2654435761 ≈ 2.5e11 (int64-safe at any doc_id, incl.
+        # 10^10-URL ids) — identical residues by modular arithmetic.
         "changed",
-        (F.col("doc_id") * F.lit(2654435761) + F.col("v") * 40503) % 97 < 25,
+        ((F.col("doc_id") % 97) * F.lit(2654435761) + F.col("v") * 40503) % 97
+        < 25,
     )
     est = visits.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_visits"),
@@ -1339,7 +1346,8 @@ _URL_DIGIT_PERMILLE_MAX = 250
                  f"len(regexp_extract_all(lower(url_raw), '{k}'))"
                  for k in _URL_SOFT_KEYWORDS)} AS BIGINT) AS kw_score,
              CAST(len(regexp_extract_all(url_raw, '[0-9]')) * 1000
-                  // length(url_raw) AS BIGINT) AS digit_permille,
+                  // greatest(length(url_raw), 1) AS BIGINT)
+               AS digit_permille,
              host IN {_URL_BLOCKLIST} AS blocked_domain
       FROM h)
     SELECT doc_id, host, kw_score, digit_permille, blocked_domain,
@@ -1383,9 +1391,12 @@ def frontier_url_blocklist_filter(spark, sf):
         .withColumn("kw_score", kw.cast("long"))
         .withColumn(
             "digit_permille",
+            # greatest(...,1): an empty URL must not divide by zero —
+            # DuckDB's // raises where Spark's div returns NULL, so the
+            # guard is required in BOTH engines for oracle parity
             F.expr(
                 "CAST(size(regexp_extract_all(url_raw, '[0-9]', 0)) * 1000"
-                " div length(url_raw) AS BIGINT)"
+                " div greatest(length(url_raw), 1) AS BIGINT)"
             ),
         )
         .withColumn(

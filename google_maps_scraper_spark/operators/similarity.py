@@ -556,8 +556,11 @@ def ivf_cells(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     return emb.withColumn("cell", F.array_position(sc, F.array_max(sc)))
 
 
-_IVF_SQL = f"""
-    WITH cmat AS MATERIALIZED (
+# Shared coarse-quantizer CTE block (cmat → norms → assign → cells): the
+# DuckDB mirror of ``ivf_cells``.  Interpolated into BOTH _IVF_SQL and
+# _SEMDEDUP_SQL (same pattern as analytics._URL_CANON_CTES) so a centroid
+# or tie-break change can never make the two oracles silently disagree.
+_COARSE_CELLS_CTES = f"""cmat AS MATERIALIZED (
       SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS C
       FROM embeddings WHERE vec_id BETWEEN 1 AND {N_CELLS}
     ),
@@ -577,7 +580,10 @@ _IVF_SQL = f"""
       SELECT vec_id, embedding,
              CAST(list_indexof(scores, list_max(scores)) AS BIGINT) AS cell
       FROM assign
-    ),
+    )"""
+
+_IVF_SQL = f"""
+    WITH {_COARSE_CELLS_CTES},
     q AS (SELECT embedding AS qe, scores AS qs FROM assign WHERE vec_id = 0),
     probes AS (
       SELECT k + 1 AS cid, row_number() OVER (ORDER BY qs[k + 1] DESC, k ASC) AS rk
@@ -1205,27 +1211,7 @@ ORACLES["emb_sign_hamming_recall"] = _sign_recall_sql().format(
 _SEMDEDUP_TAU = NEARDUP_THRESHOLD  # share the engine-wide near-dup bar
 
 _SEMDEDUP_SQL = f"""
-    WITH cmat AS MATERIALIZED (
-      SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS C
-      FROM embeddings WHERE vec_id BETWEEN 1 AND {N_CELLS}
-    ),
-    norms AS MATERIALIZED (
-      SELECT list_transform(C, c ->
-        sqrt(list_sum(list_transform(range(0, {EMB_DIM}), d -> c[d+1] * c[d+1])))) AS NR
-      FROM cmat
-    ),
-    assign AS (
-      SELECT e.vec_id, e.embedding,
-             list_transform(range(0, {N_CELLS}), k ->
-               list_sum(list_transform(range(0, {EMB_DIM}), d ->
-                 CAST(e.embedding[d+1] AS DOUBLE) * C[k+1][d+1])) / NR[k+1]) AS scores
-      FROM embeddings e, cmat, norms
-    ),
-    cells AS (
-      SELECT vec_id, embedding,
-             CAST(list_indexof(scores, list_max(scores)) AS BIGINT) AS cell
-      FROM assign
-    ),
+    WITH {_COARSE_CELLS_CTES},
     dropped AS (
       SELECT DISTINCT a.vec_id
       FROM cells a JOIN cells b
