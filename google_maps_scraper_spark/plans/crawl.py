@@ -1216,32 +1216,16 @@ class CrawlEngine:
         pruned and LATEST is rewound to the target before any new work, so
         later commits (target+1, ...) replay forward deterministically and
         the LATEST-regression fencing guard stays monotonic."""
+        from .store import ParquetDeltaLogStore
+
         eng = cls(spark, pages, workdir, config)
         eng._stamp_writer()  # take over: fences out any still-live old writer
         latest = int((eng.workdir / "LATEST").read_text().strip())
         if from_round is not None:
-            if from_round > latest:
-                raise ValueError(
-                    f"from_round={from_round} is ahead of the commit point "
-                    f"(LATEST={latest})"
-                )
-            target = eng.workdir / f"round={from_round:04d}"
-            if not (target / "manifest.json").exists():
-                raise ValueError(
-                    f"round {from_round} has no committed snapshot in "
-                    f"{eng.workdir} (pruned by retention, or never durable "
-                    "with checkpoint_every > 1)"
-                )
-            for d in sorted(eng.workdir.glob("round=*")):
-                try:
-                    r_old = int(d.name.split("=")[1])
-                except ValueError:
-                    continue
-                if r_old > from_round:
-                    shutil.rmtree(d, ignore_errors=True)
-            latest_tmp = eng.workdir / ".LATEST.tmp"
-            latest_tmp.write_text(str(from_round))
-            os.replace(latest_tmp, eng.workdir / "LATEST")
+            # rollback semantics live on the store seam (plans/store.py ≙
+            # Iceberg manageSnapshots().rollbackTo) — one implementation,
+            # contract-tested in tests/test_store_contract.py
+            ParquetDeltaLogStore(spark, eng.workdir).rollback_to(from_round)
             latest = from_round
         rd = eng.workdir / f"round={latest:04d}"
         manifest = json.loads((rd / "manifest.json").read_text())
