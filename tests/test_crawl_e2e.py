@@ -5,6 +5,8 @@ The oracle enacts the reference's exact scheduling (priority queue drained
 must reproduce its URL-seen decisions and its result set byte-identically
 (canonical JSON per url — the BASELINE.json invariant)."""
 
+import tempfile
+
 import pytest
 
 from google_maps_scraper_spark.plans.crawl import CrawlConfig, CrawlEngine
@@ -402,3 +404,35 @@ def test_terminal_batching_conserves_rows(spark, tmp_path):
     # resume from a's durable snapshot reproduces the same counters
     r = CrawlEngine.resume(spark, pages, str(tmp_path / "a"), CrawlConfig(**kw))
     assert r.counters() == ca
+
+
+def test_entry_crawl_twin_matches_engine_counters(spark):
+    """The flagship twin (__spark_entry__.entry_crawl) and a directly-driven
+    CrawlEngine on the same seeded corpus must report identical final
+    counters, and those counters must match the sequential oracle — pins the
+    flagship path to the real engine so they cannot drift (round-4 VERDICT
+    next-round #6)."""
+    import __spark_entry__ as entrymod
+
+    twin = {r["counter"]: r["n"] for r in entrymod.entry_crawl(spark).collect()}
+
+    corpus = generate_corpus(n_seeds=3, places_per_serp=5, seed=7)
+    pages = {p["url"]: p["html"] for p in corpus.pages}
+    seeds = [(s["query"].split("#!#")[0].strip(), s["custom_id"]) for s in corpus.seeds]
+    oracle = SequentialOracle(pages, extract_email=True, now_micros=NOW).run(seeds)
+
+    eng = CrawlEngine(
+        spark,
+        corpus_to_spark(spark, corpus),
+        tempfile.mkdtemp(prefix="twin-direct-"),
+        CrawlConfig(extract_email=True),
+    )
+    eng.seed_from_queries(seeds)
+    direct = {k: int(v) for k, v in eng.run().items() if isinstance(v, int)}
+
+    assert twin == direct
+    assert twin["results"] == len(oracle.results)
+    assert twin["seen"] == len(
+        {u for u, admitted, _ in oracle.seen_decisions if admitted}
+    )
+    assert twin.get("search_new", 0) == 0 and twin.get("place_new", 0) == 0
