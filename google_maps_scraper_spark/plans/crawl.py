@@ -191,6 +191,10 @@ def _jid(*cols):
 # pages (gmaps/reviews.go:87); 64 leaves headroom while guarding against a
 # cyclic corpus (leftovers fall back to inter-round frontier jobs).
 _CHAIN_MAX_HOPS = 64
+# every review-chain continuation URL starts with this (build_review_rpc_url,
+# extract/urls.py:228-243) — the predicate that carves the chain working set
+# out of the pages table
+_REVIEW_RPC_PREFIX = "https://www.google.com/maps/rpc/listugcposts"
 
 
 def _state_storage_level(spark: SparkSession):
@@ -253,6 +257,10 @@ class CrawlEngine:
         self._cum_admitted = 0   # SERP fan-out candidates (observed n_links)
         self._durable_round = -1   # last round with a committed durable snapshot
         self._writer_id = uuid.uuid4().hex  # fencing token (split-brain guard)
+        self._chain_pages = None   # lazily materialized review-RPC page
+        # subset: every chain-hop fetch probes this instead of re-scanning
+        # the full pages table (built once per run, on the first multi-hop
+        # chain — see the chain loop in run_round)
         self._ckpt_pool = None     # lazy single-thread executor: serializes
         # in-flight durable snapshots, oldest first (≤ cfg.ckpt_inflight).
         # The single worker runs them in submit order; the driver folds
@@ -1661,8 +1669,29 @@ class CrawlEngine:
             # robots rules live the pre-fetch live-count is unknown without
             # an action, so that rare configuration keeps the deterministic
             # window unconditionally.
+            # Chain working set (round-4 VERDICT #4 — the per-hop sequential
+            # fetch joins were the chain-corpus scaling tail): every
+            # continuation URL is a listugcposts RPC page by construction
+            # (build_review_rpc_url is the only producer of reviews_next.url,
+            # operators/extractors.py:302-314,330-337), so from the second
+            # hop onward the fetch probes a ONCE-materialized review-page
+            # subset instead of re-scanning the full pages table.  A 50-hop
+            # chain round drops from 50 full scans to 2 full scans (hop 1 +
+            # the subset build) + 49 block-manager probes; at 10^10 URLs the
+            # subset is the chain phase's hot working set and the same
+            # persist-the-probe-side discipline a real cluster wants.  Built
+            # at hop 2 so single-hop chains never pay the materialization;
+            # reused across every later round (pages are immutable).
+            if self._chain_pages is None and hops >= 2:
+                with self._timed("chain_pages_build"):
+                    self._chain_pages = self._ckpt(
+                        pages.filter(
+                            F.col("url").startswith(_REVIEW_RPC_PREFIX)
+                        )
+                    )
+            cpages = self._chain_pages if self._chain_pages is not None else pages
             keys = live.select("job_id", "url")
-            got = pages.join(
+            got = cpages.join(
                 F.broadcast(keys) if n_next <= cfg.broadcast_claim_rows else keys,
                 "url", "inner",
             ).select("job_id", "html", "warc_ts")
