@@ -1,10 +1,21 @@
 """Local simulation of the driver's correctness gate: run every queries()
 entry on Spark and its oracle_sql() on DuckDB at sf=0.01, compare row count,
 column names, and an order-insensitive value hash (columns sorted by name,
-values stringified with float rounding)."""
+values stringified with float rounding).
+
+Usage:
+    python tools/check_oracles.py                      # full catalog (~9 min)
+    python tools/check_oracles.py q1 q2 ...            # named queries only
+    python tools/check_oracles.py --module frontier,graph   # by source module
+    python tools/check_oracles.py --log ORACLES_r05.log     # tee to artifact
+
+``--module`` filters by the operator's defining module (the six catalog
+modules under operators/); combine with ``--log`` to record a per-round
+full-run artifact the judge can diff instead of re-running everything."""
 
 from __future__ import annotations
 
+import argparse
 import hashlib
 import sys
 
@@ -58,32 +69,62 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*", help="specific query names")
+    ap.add_argument("--module", help="comma-separated operator modules")
+    ap.add_argument("--log", help="tee results to this file")
+    args = ap.parse_args()
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    mod_of: dict[str, str] = {}
+    if args.module:
+        from google_maps_scraper_spark.operators import (  # noqa: F401
+            analytics, dedup_docs, frontier, graph, sampling, similarity,
+        )
+
+        for mname in ("analytics", "dedup_docs", "frontier", "graph",
+                      "sampling", "similarity"):
+            for q in getattr(sys.modules[
+                f"google_maps_scraper_spark.operators.{mname}"
+            ], "QUERIES"):
+                mod_of[q] = mname
+        wanted = set(args.module.split(","))
+
+    logf = open(args.log, "w") if args.log else None
+
+    def emit(line: str) -> None:
+        print(line)
+        if logf:
+            logf.write(line + "\n")
+            logf.flush()
+
     failures = []
-    only = sys.argv[1:] or None
+    only = set(args.names) or None
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if args.module and mod_of.get(name) not in wanted:
             continue
         try:
             sdf = fn(spark, SF)
             srows = [tuple(r) for r in sdf.collect()]
             scols = sdf.columns
         except Exception as exc:
-            print(f"FAIL  {name}: spark error {exc}")
+            emit(f"FAIL  {name}: spark error {exc}")
             failures.append(name)
             continue
         finally:
             release_cached(spark)  # drop this query's checkpoint blocks
         if name not in oracles:
-            print(f"ROWS  {name}: {len(srows)} rows, cols={scols} (no oracle)")
+            emit(f"ROWS  {name}: {len(srows)} rows, cols={scols} (no oracle)")
             continue
         try:
             ddf = con.execute(oracles[name])
             dcols = [d[0] for d in ddf.description]
             drows = ddf.fetchall()
         except Exception as exc:
-            print(f"FAIL  {name}: duckdb error {exc}")
+            emit(f"FAIL  {name}: duckdb error {exc}")
             failures.append(name)
             continue
         ok_count = len(srows) == len(drows)
@@ -91,7 +132,7 @@ def main():
         sh, dh = table_hash(srows, scols), table_hash(drows, dcols)
         ok_hash = sh == dh
         status = "OK  " if (ok_count and ok_cols and ok_hash) else "FAIL"
-        print(
+        emit(
             f"{status}  {name}: rows {len(srows)}/{len(drows)}"
             f" cols={'=' if ok_cols else f'{scols} vs {dcols}'}"
             f" hash={'=' if ok_hash else f'{sh} vs {dh}'}"
@@ -103,9 +144,11 @@ def main():
                 d_sorted = sorted(drows)
                 for a, b in zip(s_sorted[:200], d_sorted[:200]):
                     if tuple(map(norm_cell, a)) != tuple(map(norm_cell, b)):
-                        print(f"      first diff:\n      spark  {a}\n      duckdb {b}")
+                        emit(f"      first diff:\n      spark  {a}\n      duckdb {b}")
                         break
-    print("\n" + ("ALL OK" if not failures else f"FAILURES: {failures}"))
+    emit("\n" + ("ALL OK" if not failures else f"FAILURES: {failures}"))
+    if logf:
+        logf.close()
     spark.stop()
     return 1 if failures else 0
 
