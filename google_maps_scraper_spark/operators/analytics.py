@@ -4415,3 +4415,115 @@ def events_cdc_upsert_merge(spark, sf):
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (per-term posting traversal, exact-rational scoring)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window")  # fixed literal query
+_BM25_K = 10
+
+# BM25's tf saturation with k1=6/5, b=3/4, cleared of every division:
+#   tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))   with avgdl = A/N
+# = 22·tf·A / (10·A·tf + 3·A + 9·dl·N)         (exact integers)
+_BM25_NUM = "22 * tf * A"
+_BM25_DEN = "10 * A * tf + 3 * A + 9 * dl * N"
+
+
+@_q(
+    "docs_bm25_topk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents),
+    t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    dls AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+            FROM t GROUP BY doc_id),
+    corp AS (SELECT CAST(SUM(dl) AS BIGINT) AS A,
+                    CAST(COUNT(*) AS BIGINT) AS N FROM dls),
+    q(term) AS (VALUES {', '.join(f"('{t}')" for t in _BM25_TERMS)}),
+    tfq AS (SELECT q.term, t.doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM t JOIN q ON t.token = q.term GROUP BY q.term, t.doc_id),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tfq GROUP BY term),
+    sc AS (SELECT tfq.term, tfq.doc_id, tfq.tf, dls.dl, dfq.df,
+                  CAST({_BM25_NUM} AS DOUBLE)
+                    / CAST({_BM25_DEN} AS DOUBLE) AS s
+           FROM tfq JOIN dls USING (doc_id) JOIN dfq USING (term), corp),
+    r AS (SELECT term, doc_id, tf, dl, df, s,
+                 ROW_NUMBER() OVER (PARTITION BY term
+                                    ORDER BY s DESC, doc_id ASC) AS rk
+          FROM sc)
+    SELECT term, doc_id, tf, dl, df, ROUND(s, 3) AS score_r3, rk
+    FROM r WHERE rk <= {_BM25_K} ORDER BY term, rk
+    """,
+)
+def docs_bm25_topk(spark, sf):
+    """BM25 ranked retrieval, top-{_BM25_K} documents per query term
+    (k1=1.2, b=0.75) — the posting-list traversal at the heart of sparse
+    retrieval (and of BM25-filtered pretraining-corpus curation).
+
+    Exactness discipline: per-term BM25 order does not depend on idf (a
+    positive per-term constant), and the tf-saturation term is a RATIO OF
+    EXACT INTEGERS once cleared of divisions — num=22·tf·A,
+    den=10·A·tf+3·A+9·dl·N with A=Σdl, N=#docs — so the ranking key is one
+    IEEE division of exact int64s (correctly rounded, bit-identical across
+    engines; both stay far under 2^53 at catalog scales), never an
+    engine-divergent ln().  The df column carries what a cross-term sum
+    would need; the ln-based idf weighting itself is excluded from the
+    compared output by the gate's exact-output rule (same reasoning as
+    ``docs_unigram_lm_rarity``).
+
+    Scale shape: one token explode into a (term-filtered!) partial-agg
+    groupBy — the query terms prune BEFORE the shuffle, so the wide path
+    carries only posting rows for the query's terms; doc lengths are a
+    second partial agg joined back doc-keyed; the corpus aggregate (A, N)
+    is a 1-row broadcast cross join; the top-k window partitions by term
+    (|terms| partitions of posting-list size — at 10^10 docs the rank runs
+    per term-shard exactly like the frontier's per-bucket claim windows)."""
+    d = load(spark, sf, "documents")
+    t = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    dls = t.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    # corpus scalars (A, N) are driver-collected bounded constants and
+    # enter the plan as literals — one tiny agg job, no 1-row cross join
+    # (which would plan as the BNLJ the catalog-wide plan guard forbids);
+    # same discipline as emb_ivf_ann_topk's centroid collect
+    arow = dls.agg(
+        F.sum("dl").cast("long").alias("A"),
+        F.count(F.lit(1)).cast("long").alias("N"),
+    ).head()
+    A, N = int(arow["A"]), int(arow["N"])
+    tfq = (
+        t.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy(F.col("token").alias("term"), "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    sc = (
+        tfq.join(dls, "doc_id")
+        .join(F.broadcast(dfq), "term")
+        .withColumn("A", F.lit(A).cast("long"))
+        .withColumn("N", F.lit(N).cast("long"))
+        .withColumn(
+            "s",
+            F.expr(f"CAST({_BM25_NUM} AS DOUBLE) / CAST({_BM25_DEN} AS DOUBLE)"),
+        )
+        .drop("A", "N")
+    )
+    w = Window.partitionBy("term").orderBy(F.col("s").desc(), F.col("doc_id").asc())
+    return (
+        sc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BM25_K)
+        .select(
+            "term", "doc_id", "tf", "dl", "df",
+            F.round("s", 3).alias("score_r3"), "rk",
+        )
+        .orderBy("term", "rk")
+    )

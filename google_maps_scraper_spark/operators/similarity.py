@@ -1315,3 +1315,142 @@ def emb_semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd), 2 iterations, integer-exact update step
+# ---------------------------------------------------------------------------
+
+_KM_SCALE = 1 << 20  # fixed-point scale for the exact centroid-update sums
+
+_KMEANS_SQL = f"""
+    WITH {_COARSE_CELLS_CTES},
+    xi AS (
+      SELECT vec_id, cell,
+             list_transform(embedding, v ->
+               CAST(round(CAST(v AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS xi
+      FROM cells
+    ),
+    sums AS (
+      SELECT cell, g.d, SUM(xi[g.d + 1]) AS s
+      FROM xi, generate_series(0, {EMB_DIM - 1}) AS g(d)
+      GROUP BY cell, g.d
+    ),
+    cent AS (
+      SELECT cell, list(s ORDER BY d) AS sv FROM sums GROUP BY cell
+    ),
+    centn AS (
+      SELECT cell, sv,
+             sqrt(CAST(list_sum(list_transform(sv, v -> v * v)) AS DOUBLE))
+               AS nrm
+      FROM cent
+    ),
+    cmat2 AS (
+      SELECT list(sv ORDER BY cell) AS SV, list(nrm ORDER BY cell) AS NR2,
+             list(cell ORDER BY cell) AS CID
+      FROM centn
+    ),
+    scored AS (
+      SELECT x.vec_id, x.cell AS cell_a,
+             list_transform(range(0, len(CID)), k ->
+               CAST(list_sum(list_transform(range(0, {EMB_DIM}), d ->
+                 x.xi[d + 1] * SV[k + 1][d + 1])) AS DOUBLE) / NR2[k + 1])
+               AS scores,
+             CID
+      FROM xi x, cmat2
+    )
+    SELECT vec_id, cell_a,
+           CID[list_indexof(scores, list_max(scores))] AS cell_b,
+           CID[list_indexof(scores, list_max(scores))] <> cell_a AS moved
+    FROM scored ORDER BY vec_id
+    """
+
+
+@_register("emb_kmeans_2iter", _KMEANS_SQL)
+def emb_kmeans_2iter(spark: SparkSession, sf: str) -> DataFrame:
+    """Two Lloyd iterations of distributed k-means over the embedding table
+    (the training half of IVF that ``emb_ivf_ann_topk`` stubs with raw
+    centroids; Faiss's `Clustering` does exactly this loop): assign each row
+    to its nearest seed centroid (embeddings of vec_ids 1..{N_CELLS}, the
+    IVF coarse quantizer), recompute centroids from the assignment, assign
+    again.  Emits (vec_id, cell_a, cell_b, moved) — both assignments plus
+    the movement flag whose count is Lloyd's convergence metric.
+
+    Exactness discipline (the reason this oracle can hash-match): a mean of
+    float32s summed across a shuffle is summation-order-dependent, so the
+    update step runs in FIXED-POINT INTEGERS — components are scaled by
+    2^20 and rounded (both engines round half away from zero), per-cell
+    per-dimension sums are exact BIGINT partial aggregations (order-free),
+    and the count divisor CANCELS in the cosine argmax (score_c =
+    dot(x, s_c)/|s_c| with s_c the integer sum vector — dividing s_c by
+    n_c rescales numerator and denominator identically), so no division
+    ever happens before the one exact-integer → double cast per score.
+    Bounds at catalog scales: |component| ≲ 0.5·2^20, so dot ≤ 64·(2^19)·
+    (n_c·2^19) stays under both int64 and the 2^53 double-exact cast for
+    n_c up to ~10^4; at 10^10 rows the per-cell counts grow, so the real
+    engine drops SCALE per shard (same telescoping the span-dedup census
+    uses) — documented, not silently wrong, since overflow would break the
+    hash match loudly.
+
+    Scale shape: iteration cost is one map-side assignment scan (centroid
+    literals, zero shuffle — `ivf_cells`) + one posexplode/partial-agg
+    groupBy bounded by K·dim cells, + a K·dim driver collect (bounded
+    constants, the Faiss-train-on-driver analog `emb_ivf_ann_topk`
+    documents).  No iteration ever shuffles the embedding vectors
+    themselves.  Every cell is non-empty by construction (each seed row's
+    cosine with itself is maximal, ties break to its own cell id)."""
+    import math
+
+    emb = load(spark, sf, "embeddings")
+    crows = emb.filter(F.col("vec_id").between(1, N_CELLS)).select(
+        "vec_id", "embedding"
+    ).collect()
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in sorted(crows, key=lambda r: r["vec_id"])
+    ]
+    cells = ivf_cells(emb.select("vec_id", "embedding"), cents)
+    xi = cells.withColumn(
+        "xi",
+        F.transform(
+            "embedding",
+            lambda v: F.round(v.cast("double") * _KM_SCALE).cast("long"),
+        ),
+    ).localCheckpoint(eager=True)  # assignment + scaling computed once
+
+    sums = (
+        xi.select("cell", F.posexplode("xi").alias("d", "v"))
+        .groupBy("cell", "d")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    )
+    by_cell: dict[int, list[int]] = {}
+    for r in sums:
+        by_cell.setdefault(r["cell"], [0] * EMB_DIM)[r["d"]] = r["s"]
+    cids = sorted(by_cell)
+    svs = [by_cell[c] for c in cids]
+    # exact integer sum-of-squares (Python bigints), one sqrt per centroid
+    nrms = [math.sqrt(sum(v * v for v in sv)) for sv in svs]
+
+    scores = []
+    for sv, nrm in zip(svs, nrms):
+        arr = F.array(*[F.lit(int(v)) for v in sv])
+        dot = F.aggregate(
+            F.zip_with("xi", arr, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        scores.append(dot.cast("double") / F.lit(float(nrm)))
+    sc = F.array(*scores)
+    cid_arr = F.array(*[F.lit(int(c)) for c in cids])
+    pos = F.array_position(sc, F.array_max(sc))
+    return (
+        xi.withColumn("cell_b", F.element_at(cid_arr, pos.cast("int")))
+        .select(
+            "vec_id",
+            F.col("cell").alias("cell_a"),
+            "cell_b",
+            (F.col("cell_b") != F.col("cell")).alias("moved"),
+        )
+        .orderBy("vec_id")
+    )
