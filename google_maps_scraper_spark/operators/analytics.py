@@ -33,6 +33,40 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_fanout(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load`` plus scan fan-out for expensive map stages (guide §2.2/§6).
+
+    The driver's testdata tables are ONE parquet file with ONE row group, so
+    a bare scan is a single input split and every per-row map (shingling,
+    per-gram hashing, Arrow UDF decode) runs on one core of ``local[N]``.
+    A real table at scale has thousands of splits, where this is a no-op:
+    the repartition fires only when the scan has fewer partitions than the
+    session's parallelism, and the exchange it adds moves the raw scan
+    columns once (KB–MB here) to buy N-way map parallelism.  Use for
+    operators whose pre-shuffle per-row work dominates; plain ``load`` is
+    cheaper for scan→aggregate queries where the first exchange already
+    spreads the work."""
+    df = load(spark, sf_dir, name)
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p)
+    return df
+
+
+def ordered(df: DataFrame, *cols) -> DataFrame:
+    """Total-order a SMALL final result without a range exchange.
+
+    ``orderBy`` plans ``Exchange rangepartitioning`` whose bounds sampling
+    is a separate job that re-executes the child plan — for map-heavy or
+    Python-UDF children the whole query computes twice (guide §2.4:
+    "an orderBy used only to make output deterministic").  Catalog results
+    are bounded (≤ ~25k rows), so one round-robin exchange into a single
+    partition plus an in-partition sort yields the identical total order
+    with the child executed exactly once.  Only for driver-bounded outputs;
+    a genuinely large sorted result still wants rangepartitioning."""
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 

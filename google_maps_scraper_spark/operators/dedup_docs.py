@@ -328,7 +328,12 @@ def docs_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     jaccard_pct) for banded pairs with Jaccard ≥ 0.2, self-free.
     md5 signatures so the DuckDB oracle reproduces the banding exactly;
     computed Arrow-vectorized (equal to the JVM HOF variant by test)."""
-    d = minhash_sig_vectorized(shingle_tokens(load(spark, sf, "documents")))
+    from .analytics import load_fanout
+
+    # fan out the single-split scan: the shingling HOF and the Arrow
+    # signature UDF otherwise run on one core (guide §4.1: the boundary
+    # cost is per-batch — parallelism comes from partitioning)
+    d = minhash_sig_vectorized(shingle_tokens(load_fanout(spark, sf, "documents")))
     d = d.select("doc_id", "shingles", "sig").localCheckpoint(eager=True)
 
     bands = d.select(
@@ -404,10 +409,16 @@ def docs_simhash(spark: SparkSession, sf: str) -> DataFrame:
     16-bit chunks for Hamming-distance banding at scale).  md5 bit votes so
     the DuckDB oracle recomputes the signature bit-identically; computed
     Arrow-vectorized (equal to the JVM HOF variant by test)."""
-    return (
-        simhash_vectorized(load(spark, sf, "documents"))
-        .select("doc_id", "simhash")
-        .orderBy("doc_id")
+    from .analytics import load_fanout, ordered
+
+    # fan-out: parallelize the Arrow UDF across the session's cores; the
+    # single-partition ordered() replaces the rangepartitioning orderBy
+    # whose bounds-sampling job re-ran the UDF over the whole input
+    return ordered(
+        simhash_vectorized(load_fanout(spark, sf, "documents")).select(
+            "doc_id", "simhash"
+        ),
+        "doc_id",
     )
 
 
@@ -560,6 +571,83 @@ _WINNOW_SQL = f"""
     """
 
 
+def winnow_fingerprints_vectorized(
+    df: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Arrow-batched winnowing fingerprints, value-identical to the
+    ``winnow_wmins`` HOF formulation + (doc_id, fp) min-pos aggregation
+    (locked by tests/test_dedup_similarity.py): per document, hash every
+    k-gram (md5 prefix), take the rightmost-min of every w-window via one
+    numpy sliding-window min, and dedupe selections to (fp, first_pos)
+    INSIDE the row.  Spark's higher-order functions run interpreted
+    (outside whole-stage codegen), so the per-gram md5 + per-window
+    slice/array_min chain was the catalog's single hottest expression;
+    hashlib + numpy over Arrow batches is the fast path (guide §4.2), and
+    moving the per-doc dedup into the UDF removes the (doc_id, fp)
+    exchange entirely — doc_ids never span batches' rows, so the group is
+    complete in-row.  Emits (doc_id, fp, first_pos), unordered."""
+    import pyarrow as pa
+
+    lim = (1 << _POS_BITS) - 1
+    pos_bits = _POS_BITS
+
+    def gen(batches):
+        import re
+
+        import numpy as np
+
+        md5 = hashlib.md5
+        ws = re.compile(r"\s+", re.ASCII)
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_id: list[int] = []
+            out_fp: list[int] = []
+            out_pos: list[int] = []
+            for did, txt in zip(ids, texts):
+                if txt is None:
+                    continue
+                norm = ws.sub("", txt.lower())
+                n = len(norm) - k + 1
+                if n < 1:
+                    continue
+                keys = np.fromiter(
+                    (
+                        int.from_bytes(md5(norm[i : i + k].encode()).digest()[:4], "big")
+                        for i in range(n)
+                    ),
+                    dtype=np.int64,
+                    count=n,
+                )
+                keys = keys * (1 << pos_bits) + (lim - np.arange(n, dtype=np.int64))
+                if n >= w:
+                    wmins = np.lib.stride_tricks.sliding_window_view(keys, w).min(axis=1)
+                else:
+                    wmins = keys.min(keepdims=True)
+                fps = wmins >> pos_bits
+                pos = lim - (wmins & lim)
+                order = np.lexsort((pos, fps))
+                sfp, spos = fps[order], pos[order]
+                first = np.ones(len(sfp), dtype=bool)
+                first[1:] = sfp[1:] != sfp[:-1]
+                ufp = sfp[first]
+                out_id.extend([did] * len(ufp))
+                out_fp.extend(ufp.tolist())
+                out_pos.extend(spos[first].tolist())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, pa.int64()),
+                    pa.array(out_fp, pa.int64()),
+                    pa.array(out_pos, pa.int64()),
+                ],
+                ["doc_id", "fp", "first_pos"],
+            )
+
+    return df.select("doc_id", "text").mapInArrow(
+        gen, "doc_id long, fp long, first_pos long"
+    )
+
+
 @_register("docs_winnow_fingerprint", _WINNOW_SQL)
 def docs_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing document fingerprints: the distinct selected k-gram hashes
@@ -570,28 +658,20 @@ def docs_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     dup only) and the MinHash/SimHash queries (set-similarity estimates):
     winnowing is the positional/rolling-hash family of the SURVEY's
     fingerprinting row, the standard building block for substring-level
-    plagiarism/copy detection over a corpus.  The ONLY shuffle is the
-    (doc_id, fp) partial-agg distinct — the selection itself is computed
-    inside the scan stage (see ``winnow_wmins``), so at corpus scale this
-    is a map-side pass plus one skew-free natural-key exchange."""
-    lim = (1 << _POS_BITS) - 1
-    wm = winnow_wmins(load(spark, sf, "documents"))
-    # explode_outer, not explode: InferFiltersFromGenerate clones a plain
-    # explode's generator into a `size(...) > 0` pre-filter, re-evaluating
-    # the whole winnowing expression per row (measured 5x).  The outer
-    # variant is exempt from that rule, and wmins is never empty (the
-    # length->=k filter guarantees >=1 window), so the semantics are equal.
-    sel = wm.select("doc_id", F.explode_outer("wmins").alias("wmin"))
-    out = sel.select(
-        "doc_id",
-        F.shiftright("wmin", _POS_BITS).alias("fp"),
-        (F.lit(lim) - F.col("wmin").bitwiseAND(F.lit(lim))).alias("sel_pos"),
-    )
-    return (
-        out.groupBy("doc_id", "fp")
-        .agg(F.min("sel_pos").alias("first_pos"))
-        .orderBy("doc_id", "fp")
-    )
+    plagiarism/copy detection over a corpus.
+
+    r6 shape: the selection AND the per-doc (fp, first_pos) dedup run
+    vectorized inside the scan stage (``winnow_fingerprints_vectorized``
+    — hashlib/numpy over Arrow batches; the interpreted HOF chain this
+    replaces is kept as ``winnow_wmins`` and pinned value-equal by test),
+    so the only exchange left is the single-partition gather of the final
+    ≤25k-row result (``ordered``).  At corpus scale the gather becomes the
+    natural-key (doc_id, fp) exchange again — the in-row dedup already
+    guarantees one row per key, so it stays skew-free either way."""
+    from .analytics import load_fanout, ordered
+
+    out = winnow_fingerprints_vectorized(load_fanout(spark, sf, "documents"))
+    return ordered(out, "doc_id", "fp")
 
 
 # =============================================================================
@@ -951,12 +1031,24 @@ def docs_source_template_shingles(spark: SparkSession, sf: str) -> DataFrame:
     xxhash64(shingle) instead of the text (same trick as
     ``docs_minhash_pairs``' banding; the string form here keeps the
     DuckDB oracle exact)."""
-    d = shingle_tokens(load(spark, sf, "documents"))
+    from .analytics import load_fanout
+
+    # fan the single-split scan out so shingling parallelizes; explode_outer
+    # instead of explode because InferFiltersFromGenerate clones a plain
+    # explode's generator into a size()>0 pre-filter that re-evaluates the
+    # whole shingling HOF per row (measured 7x at sf0.1).  The isnotnull
+    # pre-filter reproduces inner-explode semantics: shingles is NULL iff
+    # text is NULL and never empty otherwise (transform over a >=1-element
+    # sequence), so the only rows the outer variant would add are exactly
+    # the NULL-text rows the filter drops.
+    d = shingle_tokens(
+        load_fanout(spark, sf, "documents").filter(F.col("text").isNotNull())
+    )
     # the exploded shingle stream feeds BOTH the census and the per-doc
     # probe: checkpoint it once so shingling isn't recomputed per branch
     # (same pattern as docs_minhash_pairs' signature reuse)
     ex = d.select(
-        "doc_id", "source", F.explode("shingles").alias("s")
+        "doc_id", "source", F.explode_outer("shingles").alias("s")
     ).localCheckpoint(eager=True)
     tpl = (
         ex.groupBy("source", "s")
@@ -1034,12 +1126,20 @@ def docs_shingle_novelty(spark: SparkSession, sf: str) -> DataFrame:
     pairs against the shingle dictionary — the exact shape the MinHash
     banding join already proved, and in production the string key becomes
     xxhash64 while this catalog form keeps the DuckDB oracle exact."""
+    from .analytics import load_fanout
+
     d = load(spark, sf, "documents")
     n = d.count()  # driver scalar: snapshot split point (parquet-stats cheap)
-    sh = shingle_tokens(d)
+    # fan-out + explode_outer + isnotnull: same rationale as
+    # docs_source_template_shingles (7x generator-clone re-evaluation and a
+    # one-core scan otherwise; semantics identical — shingles is NULL iff
+    # text is NULL and never empty otherwise)
+    sh = shingle_tokens(
+        load_fanout(spark, sf, "documents").filter(F.col("text").isNotNull())
+    )
     # old-dictionary build and new-batch probe both consume the explode:
     # checkpoint once (docs_minhash_pairs pattern)
-    ex = sh.select("doc_id", F.explode("shingles").alias("s")).localCheckpoint(
+    ex = sh.select("doc_id", F.explode_outer("shingles").alias("s")).localCheckpoint(
         eager=True
     )
     old = (

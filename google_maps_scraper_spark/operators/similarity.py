@@ -23,10 +23,12 @@ from __future__ import annotations
 import hashlib
 import logging
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .analytics import load
+from .analytics import load, load_fanout, ordered
 
 __all__ = [
     "QUERIES",
@@ -78,13 +80,13 @@ def _dot(a, b):
     )
 
 
-def lsh_signature(
+def lsh_signature_hof(
     df: DataFrame, n_planes: int = N_PLANES, dim: int = EMB_DIM
 ) -> DataFrame:
-    """Add ``lsh_bucket``: sign bits of the embedding against the literal
-    ±1 hyperplane matrix.  Fully JVM-side arithmetic (the weights are plan
-    constants — no per-row hashing), reproducible across runs/executors/
-    engines."""
+    """JVM higher-order-function formulation of ``lsh_signature`` — kept as
+    the value reference for the vectorized default (HOFs run interpreted,
+    outside whole-stage codegen, so n_planes×dim lambda evaluations per row
+    made this the emb family's hottest shared expression)."""
     w = plane_weights(n_planes, dim)
     bits = []
     for p in range(n_planes):
@@ -97,6 +99,42 @@ def lsh_signature(
     for b in bits[1:]:
         bucket = bucket + b
     return df.withColumn("lsh_bucket", bucket)
+
+
+def lsh_signature(
+    df: DataFrame, n_planes: int = N_PLANES, dim: int = EMB_DIM
+) -> DataFrame:
+    """Add ``lsh_bucket``: sign bits of the embedding against the literal
+    ±1 hyperplane matrix.
+
+    Arrow-vectorized (guide §4.2) with BIT-IDENTICAL float semantics to the
+    JVM fold and DuckDB's ``list_sum``: each plane's dot product is the
+    per-element product (exact in float64 — the weights are ±1.0) summed
+    STRICTLY left-to-right via ``np.cumsum`` (a sequential prefix sum, the
+    same IEEE addition order as ``F.aggregate``'s left fold), so the sign
+    of a near-zero dot can never flip between engines.  Pinned value-equal
+    to ``lsh_signature_hof`` by tests/test_dedup_similarity.py."""
+    import pandas as pd
+
+    import numpy as np
+
+    W = np.array(plane_weights(n_planes, dim), dtype=np.float64)  # (P, dim)
+    shifts = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf("long")
+    def _bucket(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(emb) == 0:
+            return pd.Series([], dtype="int64")
+        M = np.stack(emb.map(lambda v: np.asarray(v, dtype=np.float64)))
+        bucket = np.zeros(len(M), dtype=np.int64)
+        for p in range(W.shape[0]):
+            dots = np.cumsum(M * W[p], axis=1)[:, -1]  # sequential left fold
+            bucket += shifts[p] * (dots > 0)
+        return pd.Series(bucket)
+
+    return df.withColumn("lsh_bucket", _bucket("embedding"))
 
 
 def _emb_dim(emb: DataFrame) -> int:
@@ -154,7 +192,7 @@ def emb_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     Not in the catalog (redundant with emb_cosine_topk_r3, whose 3 dp
     rounding is value-checkable across engines); kept for the numpy parity
     test in tests/test_dedup_similarity.py."""
-    emb = load(spark, sf, "embeddings")
+    emb = load_fanout(spark, sf, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
     query = [float(x) for x in qrow["embedding"]]
     return cosine_topk(emb.filter(F.col("vec_id") != 0), query, k=10)
@@ -171,12 +209,11 @@ def emb_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 )
 def emb_lsh_bucket_sizes(spark: SparkSession, sf: str) -> DataFrame:
     """LSH bucket histogram — the pruning structure for ANN at scale."""
-    emb = load(spark, sf, "embeddings")
+    emb = load_fanout(spark, sf, "embeddings")
     emb = lsh_signature(emb, dim=_emb_dim(emb))
-    return (
-        emb.groupBy("lsh_bucket")
-        .agg(F.count("*").alias("n_vectors"))
-        .orderBy(F.col("n_vectors").desc(), F.col("lsh_bucket").asc())
+    return ordered(
+        emb.groupBy("lsh_bucket").agg(F.count("*").alias("n_vectors")),
+        F.col("n_vectors").desc(), F.col("lsh_bucket").asc(),
     )
 
 
@@ -191,7 +228,7 @@ def emb_lsh_bucket_sizes(spark: SparkSession, sf: str) -> DataFrame:
 )
 def emb_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-table profile: per-label counts and dimension check."""
-    emb = load(spark, sf, "embeddings")
+    emb = load_fanout(spark, sf, "embeddings")
     return (
         emb.select("label", F.size("embedding").alias("dim"))
         .groupBy("label")
@@ -214,7 +251,7 @@ def emb_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
 def emb_cosine_topk_r3(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-10 with 3-dp rounding — value-checkable across
     engines (float32 inputs make 3 dp stable; ties break on vec_id)."""
-    emb = load(spark, sf, "embeddings")
+    emb = load_fanout(spark, sf, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
     query = [float(x) for x in qrow["embedding"]]
     return cosine_topk(
@@ -369,11 +406,11 @@ def neardup_pairs_blocked(
         )
 
     cand = tagged.groupBy("bi", "bj").applyInPandas(gemm, "vec_a bigint, vec_b bigint")
-    return (
+    return ordered(
         _pair_cosine(emb, cand)
         .filter(F.col("cos_r3") >= NEARDUP_THRESHOLD)
-        .select("vec_a", "vec_b", "cos_r3")
-        .orderBy("vec_a", "vec_b")
+        .select("vec_a", "vec_b", "cos_r3"),
+        "vec_a", "vec_b",
     )
 
 
@@ -390,7 +427,7 @@ def neardup_pairs_blocked(
 def emb_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Catalog entry for the blocked exact near-dup pairs (see
     ``neardup_pairs_blocked`` for the scale design)."""
-    return neardup_pairs_blocked(load(spark, sf, "embeddings"))
+    return neardup_pairs_blocked(load_fanout(spark, sf, "embeddings"))
 
 
 @_register(
@@ -418,7 +455,7 @@ def emb_lsh_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     The only shuffle is the band groupBy; recall vs the exact-threshold
     query is asserted in tests/test_dedup_similarity.py.
     """
-    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    emb = load_fanout(spark, sf, "embeddings").select("vec_id", "embedding")
     return lsh_neardup_pairs(emb)
 
 
@@ -462,11 +499,11 @@ def lsh_neardup_pairs(emb: DataFrame) -> DataFrame:
         .filter(F.col("hamming") <= NEARDUP_HAMMING)
         .select("vec_a", "vec_b", "hamming")
     )
-    return (
+    return ordered(
         _pair_cosine(emb, cand)
         .filter(F.col("cos_r3") >= NEARDUP_THRESHOLD)
-        .select("vec_a", "vec_b", "hamming", "cos_r3")
-        .orderBy("vec_a", "vec_b")
+        .select("vec_a", "vec_b", "hamming", "cos_r3"),
+        "vec_a", "vec_b",
     )
 
 
@@ -501,7 +538,7 @@ def emb_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     brute force — NEVER silently: a warning is logged and every result row
     carries brute_force_fallback=true (an ANN query that quietly became a
     table scan is the catalog's own "no silent caps" violation)."""
-    emb = load(spark, sf, "embeddings")
+    emb = load_fanout(spark, sf, "embeddings")
     emb = lsh_signature(emb, dim=_emb_dim(emb))
     emb = emb.localCheckpoint(eager=True)  # signature computed once
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding", "lsh_bucket").head()
@@ -538,13 +575,10 @@ def _py_dot(a, b) -> float:
     return s
 
 
-def ivf_cells(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    """Assign each embedding to its nearest coarse-quantizer cell (IVF-Flat
-    assignment, Faiss-style): ``cell`` = 1-based argmax over centroids of
-    dot(e, c)/|c| (the row's own norm is constant per row and cannot change
-    its argmax, so it is dropped).  Centroids are inlined as plan literals —
-    pure JVM arithmetic, no shuffle, no per-row Python; ties break to the
-    lowest cell id via first-match ``array_position``."""
+def ivf_cells_hof(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """JVM higher-order-function formulation of ``ivf_cells`` — kept as the
+    value reference for the vectorized default (nlist×dim interpreted
+    lambda evaluations per row otherwise)."""
     import math
 
     scores = []
@@ -554,6 +588,41 @@ def ivf_cells(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
         scores.append(_dot(F.col("embedding"), arr) / F.lit(nrm))
     sc = F.array(*scores)
     return emb.withColumn("cell", F.array_position(sc, F.array_max(sc)))
+
+
+def ivf_cells(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Assign each embedding to its nearest coarse-quantizer cell (IVF-Flat
+    assignment, Faiss-style): ``cell`` = 1-based argmax over centroids of
+    dot(e, c)/|c| (the row's own norm is constant per row and cannot change
+    its argmax, so it is dropped); ties break to the lowest cell id.
+
+    Arrow-vectorized (guide §4.2) with bit-identical float semantics to the
+    JVM fold and DuckDB's ``list_sum``: per-element products are exact-op
+    float64, summed strictly left-to-right via ``np.cumsum`` (sequential
+    prefix sum = the HOF left fold's IEEE addition order), divided by the
+    same driver-computed centroid norm, and ``np.argmax`` reproduces
+    ``array_position(sc, array_max(sc))``'s first-max tie-break.  Pinned
+    value-equal to ``ivf_cells_hof`` by tests."""
+    import math
+
+    import numpy as np
+
+    C = np.array(centroids, dtype=np.float64)  # (K, dim)
+    nrm = np.array([math.sqrt(_py_dot(c, c)) for c in centroids])
+
+    @F.pandas_udf("long")
+    def _cell(emb_col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(emb_col) == 0:
+            return pd.Series([], dtype="int64")
+        M = np.stack(emb_col.map(lambda v: np.asarray(v, dtype=np.float64)))
+        scores = np.empty((len(M), C.shape[0]), dtype=np.float64)
+        for k in range(C.shape[0]):
+            scores[:, k] = np.cumsum(M * C[k], axis=1)[:, -1] / nrm[k]
+        return pd.Series((np.argmax(scores, axis=1) + 1).astype(np.int64))
+
+    return emb.withColumn("cell", _cell("embedding"))
 
 
 # Shared coarse-quantizer CTE block (cmat → norms → assign → cells): the
@@ -626,7 +695,7 @@ def emb_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     query.  At scale the cell column becomes the partition key: writing the
     table bucketed by cell turns every query into an nprobe-partition
     pruned scan with no shuffle at all."""
-    emb = load(spark, sf, "embeddings")
+    emb = load_fanout(spark, sf, "embeddings")
     crows = emb.filter(F.col("vec_id").between(1, N_CELLS)).select(
         "vec_id", "embedding"
     ).collect()
@@ -697,23 +766,46 @@ def emb_int8_quantize(spark: SparkSession, sf: str) -> DataFrame:
     bit-stable — both engines widen float32->double and round
     half-away-from-zero, so q_i is identical on each side.
 
-    Scale shape: pure JVM array arithmetic (``transform``/``aggregate``/
-    ``filter`` higher-order functions) inside the scan stage — per-row
-    work, no shuffle, no Python; at 10^10 rows this is a map-only pass
-    whose output is 64 int8 + 1 float per row."""
-    emb = load(spark, sf, "embeddings")
-    v = F.transform("embedding", lambda x: x.cast("double"))
-    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = mx / F.lit(127.0)
-    q_abs = F.transform(v, lambda x: F.abs(F.round(x / scale)))
-    q_l1 = F.aggregate(q_abs, F.lit(0.0), lambda a, x: a + x)
-    n_sat = F.size(F.filter(q_abs, lambda x: x == 127.0))
-    zero = F.lit(0).cast("long")
-    return emb.select(
+    Scale shape: one Arrow-vectorized map inside the scan stage (r6 — the
+    interpreted ``transform``/``aggregate`` HOF chain it replaces ran
+    outside whole-stage codegen) — per-row work, no shuffle, map-only at
+    10^10 rows.  Float parity is provable: |x|/scale is one IEEE division
+    (abs exact), ``round`` half-away-from-zero is reproduced exactly as
+    floor(a) + (a - floor(a) >= 0.5) (the fractional part of a
+    non-negative double is an exact subtraction, and Spark's
+    BigDecimal-HALF_UP on shortest-decimal doubles equals binary
+    half-away-from-zero), and the L1 fold sums integers ≤ 127·dim — exact
+    in float64 in any order."""
+    import numpy as np
+
+    emb = load_fanout(spark, sf, "embeddings")
+
+    @F.pandas_udf("struct<q_l1: bigint, n_saturated: bigint>")
+    def _quant(col: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(col)
+        q_l1 = np.zeros(n, dtype=np.int64)
+        n_sat = np.zeros(n, dtype=np.int64)
+        for i, v in enumerate(col):
+            x = np.asarray(v, dtype=np.float64)
+            a = np.abs(x)
+            mx = a.max() if len(a) else 0.0
+            if mx == 0.0:
+                continue
+            r = a / (mx / 127.0)
+            fl = np.floor(r)
+            q = fl + (r - fl >= 0.5)  # round half away from zero, exact
+            q_l1[i] = int(q.sum())
+            n_sat[i] = int((q == 127.0).sum())
+        return pd.DataFrame({"q_l1": q_l1, "n_saturated": n_sat})
+
+    return ordered(
+        emb.select("vec_id", _quant("embedding").alias("q")).select(
+            "vec_id", "q.q_l1", "q.n_saturated"
+        ),
         "vec_id",
-        F.when(mx == 0, zero).otherwise(q_l1.cast("long")).alias("q_l1"),
-        F.when(mx == 0, zero).otherwise(n_sat.cast("long")).alias("n_saturated"),
-    ).orderBy("vec_id")
+    )
 
 
 # =============================================================================
@@ -765,7 +857,7 @@ _PQ_CODES_CTE = f"""
     FROM codes ORDER BY vec_id
     """,
 )
-def emb_pq_assign(spark: SparkSession, sf: str) -> DataFrame:
+def emb_pq_assign(spark: SparkSession, sf: str, _ordered_out: bool = True) -> DataFrame:
     """Product-quantization code assignment (Faiss IndexPQ compression):
     each {PQ_M * PQ_SUB}-dim vector splits into {PQ_M} subvectors of
     {PQ_SUB} dims; each subvector maps to its nearest of {PQ_K} codebook
@@ -777,57 +869,70 @@ def emb_pq_assign(spark: SparkSession, sf: str) -> DataFrame:
     sized sample — the distributed part is this assignment scan).
 
     Both engines fold the squared-distance sum left-to-right over the same
-    float32→double widening (``F.aggregate``/``zip_with`` vs ``list_sum``/
-    ``list_transform``), so the argmin and every code are bit-identical —
-    the discipline proven by ``emb_ivf_ann_topk``.
+    float32→double widening, so the argmin and every code are bit-identical
+    — the discipline proven by ``emb_ivf_ann_topk``.  r6: the assignment is
+    one Arrow-vectorized map (the interpreted HOF chain it replaces
+    evaluated PQ_M·PQ_K·PQ_SUB lambdas per row); parity is exact because
+    each (x−c) difference and square is a single IEEE op and the
+    per-subspace sum runs as a sequential prefix sum (``np.cumsum``), the
+    left fold's addition order, with ``np.argmin`` reproducing
+    ``array_position(scores, array_min(scores))``'s first-min tie-break.
 
-    Scale shape: centroids are plan literals; the whole assignment is
-    per-row JVM higher-order-function arithmetic inside the scan stage —
-    no shuffle, no Python, map-only at 10^10 rows, output {PQ_M} small
-    ints + 1 packed BIGINT per row."""
-    emb = load(spark, sf, "embeddings")
+    Scale shape: centroids are captured constants; map-only at 10^10 rows,
+    no shuffle, output {PQ_M} small ints + 1 packed BIGINT per row."""
+    import numpy as np
+
+    emb = load_fanout(spark, sf, "embeddings")
     crows = emb.filter(F.col("vec_id").between(1, PQ_K)).select(
         "vec_id", "embedding"
     ).collect()
-    cents = [
-        [float(x) for x in r["embedding"]]
-        for r in sorted(crows, key=lambda r: r["vec_id"])
-    ]
+    C = np.array(
+        [
+            [float(x) for x in r["embedding"]]
+            for r in sorted(crows, key=lambda r: r["vec_id"])
+        ],
+        dtype=np.float64,
+    )  # (PQ_K, EMB_DIM)
 
-    def _sqdist(sub_col, cvals):
-        return F.aggregate(
-            F.zip_with(
-                sub_col,
-                F.array(*[F.lit(float(c)) for c in cvals]),
-                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    @F.pandas_udf(
+        "struct<code_1: bigint, code_2: bigint, code_3: bigint, code_4: bigint>"
+    )
+    def _codes(col: pd.Series) -> pd.DataFrame:
+        import numpy as np
 
-    codes = []
-    for m in range(PQ_M):
-        sub = F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
-        scores = F.array(
-            *[
-                _sqdist(sub, cents[k][m * PQ_SUB:(m + 1) * PQ_SUB])
-                for k in range(PQ_K)
-            ]
-        )
-        codes.append(
-            F.array_position(scores, F.array_min(scores)).cast("long")
-        )
+        if len(col) == 0:
+            return pd.DataFrame(
+                {f"code_{m + 1}": pd.Series(dtype="int64") for m in range(PQ_M)}
+            )
+        M = np.stack(col.map(lambda v: np.asarray(v, dtype=np.float64)))
+        out = {}
+        for m in range(PQ_M):
+            sub = M[:, m * PQ_SUB : (m + 1) * PQ_SUB]  # (n, PQ_SUB)
+            csub = C[:, m * PQ_SUB : (m + 1) * PQ_SUB]  # (PQ_K, PQ_SUB)
+            d = sub[:, None, :] - csub[None, :, :]  # exact IEEE diffs
+            scores = np.cumsum(d * d, axis=2)[:, :, -1]  # sequential fold
+            out[f"code_{m + 1}"] = (np.argmin(scores, axis=1) + 1).astype(
+                np.int64
+            )
+        return pd.DataFrame(out)
+
+    coded = emb.select("vec_id", _codes("embedding").alias("c")).select(
+        "vec_id", "c.code_1", "c.code_2", "c.code_3", "c.code_4"
+    )
+    if not _ordered_out:
+        return coded
     pq_code = (
-        ((codes[0] - 1) * PQ_K + (codes[1] - 1)) * PQ_K + (codes[2] - 1)
-    ) * PQ_K + (codes[3] - 1)
-    return emb.select(
+        (
+            (F.col("code_1") - 1) * PQ_K + (F.col("code_2") - 1)
+        ) * PQ_K + (F.col("code_3") - 1)
+    ) * PQ_K + (F.col("code_4") - 1)
+    return ordered(
+        coded.select(
+            "vec_id", "code_1", "code_2", "code_3", "code_4",
+            pq_code.alias("pq_code"),
+        ),
         "vec_id",
-        codes[0].alias("code_1"),
-        codes[1].alias("code_2"),
-        codes[2].alias("code_3"),
-        codes[3].alias("code_4"),
-        pq_code.alias("pq_code"),
-    ).orderBy("vec_id")
+    )
 
 
 @_register(
@@ -871,7 +976,7 @@ def emb_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     the IVF probe ranking already proved), then enters the plan as array
     literals: per-row work is {PQ_M} ``element_at`` lookups + 3 adds —
     scan-stage only, no shuffle, no Python."""
-    emb = load(spark, sf, "embeddings")
+    emb = load_fanout(spark, sf, "embeddings")
     crows = emb.filter(F.col("vec_id").between(1, PQ_K)).select(
         "vec_id", "embedding"
     ).collect()
@@ -904,7 +1009,9 @@ def emb_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
         for m in range(PQ_M)
     ]
 
-    coded = emb_pq_assign(spark, sf)
+    # unordered codes: the ADC rerank needs neither pq_code nor the
+    # assignment query's final gather-sort
+    coded = emb_pq_assign(spark, sf, _ordered_out=False)
     adc = None
     for m in range(PQ_M):
         term = F.element_at(
@@ -970,7 +1077,7 @@ def emb_dim_variance_topk(spark: SparkSession, sf: str) -> DataFrame:
     rank window runs on |dims| rows.  At 10^10 vectors this is the
     cheapest whole-table statistic there is — one pass, bounded
     shuffle."""
-    emb = load(spark, sf, "embeddings")
+    emb = load_fanout(spark, sf, "embeddings")
     x = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
         F.col("dim").cast("int").alias("dim"),
         F.round(F.col("x").cast("double") * 1000).cast("long").alias("m"),
@@ -994,7 +1101,7 @@ def emb_dim_variance_topk(spark: SparkSession, sf: str) -> DataFrame:
             .cast("int"),
         )
         .filter(F.col("rk") <= _DIM_VAR_TOPK)
-        .orderBy("rk")
+        .sortWithinPartitions("rk")  # rank window output is one partition
     )
 
 
@@ -1093,7 +1200,7 @@ def emb_matryoshka_prefix_recall(spark: SparkSession, sf: str) -> DataFrame:
     the vector; at 10^10 rows the prefix slice is what lives in memory
     and the full vector stays in cold storage for rerank — the eval join
     itself is two k-row inputs, trivially broadcast."""
-    emb = load(spark, sf, "embeddings")
+    emb = load_fanout(spark, sf, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
     query = [float(x) for x in qrow["embedding"]][:_MRL_PREFIX_DIM]
     tr = cosine_topk(
@@ -1164,7 +1271,7 @@ def emb_sign_hamming_recall(spark: SparkSession, sf: str) -> DataFrame:
     the DuckDB oracle replays it) + TakeOrdered; the eval join is two
     k-row inputs.  Production packs the 64 bits into one BIGINT and
     XOR+bit_counts it; the fold form keeps the catalog row exact."""
-    emb = load(spark, sf, "embeddings")
+    emb = load_fanout(spark, sf, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
     qsign = [1 if float(x) >= 0 else 0 for x in qrow["embedding"]]
     qarr = F.array(*[F.lit(int(b)) for b in qsign])
@@ -1255,7 +1362,7 @@ def emb_semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
     Output: one row per vector — (vec_id, cell, is_kept), integers/bool
     only (exact-output rule; the cosine stays internal to the ≥τ gate
     evaluated identically by both engines)."""
-    emb = load(spark, sf, "embeddings")
+    emb = load_fanout(spark, sf, "embeddings")
     crows = emb.filter(F.col("vec_id").between(1, N_CELLS)).select(
         "vec_id", "embedding"
     ).collect()
@@ -1307,13 +1414,14 @@ def emb_semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("is_dropped", F.lit(True))
     )
     return (
-        cells.join(dropped, "vec_id", "left")
-        .select(
+        ordered(
+            cells.join(dropped, "vec_id", "left").select(
+                "vec_id",
+                "cell",
+                F.col("is_dropped").isNull().alias("is_kept"),
+            ),
             "vec_id",
-            "cell",
-            F.col("is_dropped").isNull().alias("is_kept"),
         )
-        .orderBy("vec_id")
     )
 
 
@@ -1386,11 +1494,13 @@ def emb_kmeans_2iter(spark: SparkSession, sf: str) -> DataFrame:
     n_c rescales numerator and denominator identically), so no division
     ever happens before the one exact-integer → double cast per score.
     Bounds at catalog scales: |component| ≲ 0.5·2^20, so dot ≤ 64·(2^19)·
-    (n_c·2^19) stays under both int64 and the 2^53 double-exact cast for
-    n_c up to ~10^4; at 10^10 rows the per-cell counts grow, so the real
-    engine drops SCALE per shard (same telescoping the span-dedup census
-    uses) — documented, not silently wrong, since overflow would break the
-    hash match loudly.
+    (n_c·2^19) stays under int64 to n_c ≈ 10^5, and under the 2^53
+    double-exact cast only to n_c ≈ 500 — past that the int64 → double
+    cast rounds, but BOTH engines round the identical exact integer, so
+    cross-engine parity holds regardless; at 10^10 rows the per-cell
+    counts grow, so the real engine drops SCALE per shard (same
+    telescoping the span-dedup census uses) — documented, not silently
+    wrong, since int64 overflow would break the hash match loudly.
 
     Scale shape: iteration cost is one map-side assignment scan (centroid
     literals, zero shuffle — `ivf_cells`) + one posexplode/partial-agg
@@ -1398,10 +1508,12 @@ def emb_kmeans_2iter(spark: SparkSession, sf: str) -> DataFrame:
     constants, the Faiss-train-on-driver analog `emb_ivf_ann_topk`
     documents).  No iteration ever shuffles the embedding vectors
     themselves.  Every cell is non-empty by construction (each seed row's
-    cosine with itself is maximal, ties break to its own cell id)."""
+    cosine with itself is maximal; score ties break to the LOWEST cell
+    index — ``array_position``/``list_indexof`` first-match — which is the
+    seed's own cell whenever no lower-indexed centroid ties it)."""
     import math
 
-    emb = load(spark, sf, "embeddings")
+    emb = load_fanout(spark, sf, "embeddings")
     crows = emb.filter(F.col("vec_id").between(1, N_CELLS)).select(
         "vec_id", "embedding"
     ).collect()
@@ -1432,25 +1544,34 @@ def emb_kmeans_2iter(spark: SparkSession, sf: str) -> DataFrame:
     # exact integer sum-of-squares (Python bigints), one sqrt per centroid
     nrms = [math.sqrt(sum(v * v for v in sv)) for sv in svs]
 
-    scores = []
-    for sv, nrm in zip(svs, nrms):
-        arr = F.array(*[F.lit(int(v)) for v in sv])
-        dot = F.aggregate(
-            F.zip_with("xi", arr, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        scores.append(dot.cast("double") / F.lit(float(nrm)))
-    sc = F.array(*scores)
-    cid_arr = F.array(*[F.lit(int(c)) for c in cids])
-    pos = F.array_position(sc, F.array_max(sc))
-    return (
-        xi.withColumn("cell_b", F.element_at(cid_arr, pos.cast("int")))
+    # second assignment, Arrow-vectorized (r6): integer dot products are
+    # exact in int64 (bounds above) and order-free, the int64 → double
+    # cast and the /nrm division are single IEEE ops identical to the JVM
+    # fold's, and np.argmax reproduces the first-max tie-break — so this
+    # is bit-identical to the retired interpreted zip_with/aggregate chain
+    import numpy as np
+
+    SV = np.array(svs, dtype=np.int64)  # (K, dim)
+    NRM = np.array(nrms, dtype=np.float64)
+    CID = np.array(cids, dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def _cell_b(xi_col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(xi_col) == 0:
+            return pd.Series([], dtype="int64")
+        X = np.stack(xi_col.map(lambda v: np.asarray(v, dtype=np.int64)))
+        scores = (X @ SV.T).astype(np.float64) / NRM[None, :]
+        return pd.Series(CID[np.argmax(scores, axis=1)])
+
+    return ordered(
+        xi.withColumn("cell_b", _cell_b("xi"))
         .select(
             "vec_id",
             F.col("cell").alias("cell_a"),
             "cell_b",
             (F.col("cell_b") != F.col("cell")).alias("moved"),
-        )
-        .orderBy("vec_id")
+        ),
+        "vec_id",
     )

@@ -246,6 +246,121 @@ def test_vectorized_variants_equal_hof(spark):
     assert va == vb
 
 
+def _winnow_hof_reference(df):
+    """The retired JVM HOF winnowing pipeline (winnow_wmins + explode +
+    groupBy min) — kept as the value reference for the vectorized path."""
+    from pyspark.sql import functions as F
+
+    from google_maps_scraper_spark.operators.dedup_docs import (
+        _POS_BITS,
+        winnow_wmins,
+    )
+
+    lim = (1 << _POS_BITS) - 1
+    sel = winnow_wmins(df).select(
+        "doc_id", F.explode_outer("wmins").alias("wmin")
+    )
+    return (
+        sel.select(
+            "doc_id",
+            F.shiftright("wmin", _POS_BITS).alias("fp"),
+            (F.lit(lim) - F.col("wmin").bitwiseAND(F.lit(lim))).alias("sel_pos"),
+        )
+        .groupBy("doc_id", "fp")
+        .agg(F.min("sel_pos").alias("first_pos"))
+    )
+
+
+def test_lsh_signature_vectorized_equals_hof(spark):
+    """The Arrow-vectorized LSH signature (r6 fast path) must equal the JVM
+    HOF fold bit-for-bit — the cumsum sequential prefix sum reproduces the
+    left fold's IEEE addition order, so no near-zero dot sign can flip."""
+    from google_maps_scraper_spark.operators.similarity import (
+        lsh_signature,
+        lsh_signature_hof,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = {r["vec_id"]: r["lsh_bucket"] for r in lsh_signature(emb).collect()}
+    b = {r["vec_id"]: r["lsh_bucket"] for r in lsh_signature_hof(emb).collect()}
+    assert a == b
+
+
+def test_ivf_cells_vectorized_equals_hof(spark):
+    """Same contract for the IVF assignment: sequential-sum scores, same
+    norm divisor, first-max tie-break."""
+    from pyspark.sql import functions as F
+
+    from google_maps_scraper_spark.operators.similarity import (
+        N_CELLS,
+        ivf_cells,
+        ivf_cells_hof,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").between(1, N_CELLS))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    sel = emb.select("vec_id", "embedding")
+    a = {r["vec_id"]: r["cell"] for r in ivf_cells(sel, cents).collect()}
+    b = {r["vec_id"]: r["cell"] for r in ivf_cells_hof(sel, cents).collect()}
+    assert a == b
+
+
+def test_winnow_vectorized_equals_hof(spark):
+    """The Arrow-vectorized winnowing (r6 fast path) must equal the JVM HOF
+    formulation row-for-row — same md5 k-gram keys, same rightmost-min
+    packing, same per-doc (fp, first_pos) dedup."""
+    from google_maps_scraper_spark.operators.dedup_docs import (
+        winnow_fingerprints_vectorized,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    a = {
+        (r["doc_id"], r["fp"]): r["first_pos"]
+        for r in winnow_fingerprints_vectorized(docs).collect()
+    }
+    b = {
+        (r["doc_id"], r["fp"]): r["first_pos"]
+        for r in _winnow_hof_reference(docs).collect()
+    }
+    assert a == b
+
+
+def test_winnow_vectorized_dirty_text_parity(spark):
+    """Same Java-vs-Python tokenization traps as the SimHash parity test:
+    ASCII-only \\s+ stripping, Unicode-ish whitespace left alone, short and
+    empty docs filtered identically (norm length < k drops the doc)."""
+    from google_maps_scraper_spark.operators.dedup_docs import (
+        winnow_fingerprints_vectorized,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "\tABCDEFGH ijk\n"),
+            (2, "nbsp kept here"),  # NBSP/em-space: not \s in Java
+            (3, "abcd"),                  # norm shorter than k -> dropped
+            (4, ""),
+            (5, None),
+            (6, " \t exactly-five \n "),
+            (7, "Mixed CASE Lowered OK"),
+        ],
+        "doc_id int, text string",
+    )
+    a = {
+        (r["doc_id"], r["fp"]): r["first_pos"]
+        for r in winnow_fingerprints_vectorized(docs).collect()
+    }
+    b = {
+        (r["doc_id"], r["fp"]): r["first_pos"]
+        for r in _winnow_hof_reference(docs).collect()
+    }
+    assert a == b
+
+
 def test_simhash_vectorized_dirty_whitespace_parity(spark):
     """Regression (round-3 ADVICE, medium): the vectorized SimHash must
     tokenize exactly like the SQL formulation on DIRTY text — SQL trim()

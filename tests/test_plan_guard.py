@@ -145,19 +145,24 @@ def test_catalog_query_plans_clean(spark, qname):
 
 
 def test_winnow_plan_single_hash_pass_no_window(spark):
-    """The winnowing selection must stay inside the row: exactly ONE md5 in
-    the physical plan (InferFiltersFromGenerate would clone the generator
-    into a size()>0 pre-filter and re-hash every gram — the explode_outer
-    guard in docs_winnow_fingerprint exists for this) and no window-sort
-    shuffle of per-gram rows."""
+    """The winnowing selection must stay inside the row.  r6 shape: the
+    per-gram hashing AND the per-doc (fp, first_pos) dedup run inside one
+    Arrow map stage (``winnow_fingerprints_vectorized``), so the plan must
+    show NO JVM-side md5 (zero re-evaluation risk — the hash lives in the
+    UDF), no window-sort shuffle of per-gram rows, no (doc_id, fp)
+    aggregation exchange, and exactly the two benign exchanges of the
+    fan-out + final single-partition sort."""
     from google_maps_scraper_spark.operators.dedup_docs import (
         docs_winnow_fingerprint,
     )
 
     df = docs_winnow_fingerprint(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("md5") == 1, f"md5 evaluated {plan.count('md5')}x"
+    assert "md5" not in plan, "per-gram hashing leaked back into the JVM plan"
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan
     assert "Window" not in plan
+    assert "HashAggregate" not in plan, "per-doc dedup left the Arrow stage"
+    assert plan.count("Exchange") <= 2  # scan fan-out + final gather
 
 
 def test_asof_plan_single_shuffle_no_range_join(spark):
@@ -176,8 +181,11 @@ def test_asof_plan_single_shuffle_no_range_join(spark):
 
 
 def test_ivf_assignment_plan_is_literal_arithmetic(spark):
-    """IVF cell assignment must be plan-literal arithmetic: no shuffle, no
-    join, no Python eval in the assignment projection."""
+    """IVF cell assignment must stay a scan-stage map: no shuffle, no join.
+    r6: the assignment arithmetic runs as ONE Arrow-vectorized UDF
+    (``ivf_cells`` — centroids captured as numpy literals; value-equal to
+    the JVM HOF reference by test), so the plan shows a single
+    ArrowEvalPython and still no row-at-a-time BatchEvalPython."""
     from pyspark.sql import functions as F
 
     from google_maps_scraper_spark.operators.similarity import (
@@ -200,4 +208,5 @@ def test_ivf_assignment_plan_is_literal_arithmetic(spark):
     )
     assert "Exchange" not in plan
     assert "Join" not in plan
-    assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert plan.count("ArrowEvalPython") <= 1
