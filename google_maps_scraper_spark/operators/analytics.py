@@ -2981,37 +2981,62 @@ def multimodal_image_ahash(spark, sf):
     engine boundary.  The hash is split hi/lo 32-bit halves so every value
     stays positive BIGINT (bit 63 of a packed int64 would need unsigned).
 
-    Scale shape: pure higher-order-function arithmetic (transform /
-    aggregate over a 64-element array) inside the scan stage — no UDF, no
-    shuffle; at 10^10 images the decode UDF feeding the pixel array is the
-    only Python, exactly like ``multimodal_image_dims``."""
-    d = load(spark, sf, "documents").select("doc_id")
-    px = (
-        "transform(sequence(0, 63), i -> CAST(conv(substring("
-        "md5(concat('ahash-v1:', CAST(doc_id AS STRING), ':', "
-        "CAST(i div 16 AS STRING))), (i % 16)*2 + 1, 2), 16, 10) AS BIGINT))"
-    )
-    t = d.select(
-        "doc_id", F.expr(px).alias("px")
-    ).withColumn(
-        "total", F.expr("aggregate(px, CAST(0 AS BIGINT), (a, x) -> a + x)")
-    )
-    bits = (
-        "aggregate(sequence({lo}, {hi}), CAST(0 AS BIGINT), (acc, i) -> "
-        "acc + IF(element_at(px, i + 1) * 64 > total, "
-        "shiftleft(CAST(1 AS BIGINT), {top} - i), CAST(0 AS BIGINT)))"
-    )
-    return (
-        t.select(
-            "doc_id",
-            F.expr(bits.format(lo=0, hi=31, top=31)).alias("ahash_hi"),
-            F.expr(bits.format(lo=32, hi=63, top=63)).alias("ahash_lo"),
-            F.expr(
-                "aggregate(px, CAST(0 AS BIGINT), (a, x) -> "
-                "a + IF(x * 64 > total, CAST(1 AS BIGINT), CAST(0 AS BIGINT)))"
-            ).alias("n_set"),
+    Scale shape (r6): one Arrow-vectorized map inside the scan stage — the
+    8×8 pixel block is by construction the 16 raw bytes of 4 md5 digests
+    (hex pair (i%16)·2+1..2 of md5 block i//16 IS digest byte i%16), so
+    the UDF hashes 4 strings per row with hashlib and the thresholding is
+    pure exact-integer numpy; the interpreted transform/aggregate HOF
+    chain this replaces evaluated ~256 lambdas per row outside codegen.
+    At 10^10 images the decode UDF feeding the pixel array is the only
+    Python, exactly like ``multimodal_image_dims``."""
+    import pyarrow as pa
+
+    d = load_fanout(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+
+        weights_hi = np.concatenate(
+            [1 << np.arange(31, -1, -1, dtype=np.int64), np.zeros(32, np.int64)]
         )
-        .orderBy("doc_id")
+        weights_lo = np.concatenate(
+            [np.zeros(32, np.int64), 1 << np.arange(31, -1, -1, dtype=np.int64)]
+        )
+        md5 = hashlib.md5
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            hi = np.empty(len(ids), dtype=np.int64)
+            lo = np.empty(len(ids), dtype=np.int64)
+            ns = np.empty(len(ids), dtype=np.int64)
+            for r, did in enumerate(ids):
+                px = np.frombuffer(
+                    b"".join(
+                        md5(f"ahash-v1:{did}:{blk}".encode()).digest()
+                        for blk in range(4)
+                    ),
+                    dtype=np.uint8,
+                ).astype(np.int64)
+                bits = px * 64 > px.sum()
+                hi[r] = int((weights_hi * bits).sum())
+                lo[r] = int((weights_lo * bits).sum())
+                ns[r] = int(bits.sum())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(hi),
+                    pa.array(lo),
+                    pa.array(ns),
+                ],
+                ["doc_id", "ahash_hi", "ahash_lo", "n_set"],
+            )
+
+    return ordered(
+        d.mapInArrow(
+            gen, "doc_id long, ahash_hi long, ahash_lo long, n_set long"
+        ),
+        "doc_id",
     )
 
 

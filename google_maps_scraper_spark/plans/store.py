@@ -142,12 +142,15 @@ class ParquetDeltaLogStore(SnapshotStore):
 
     def _round_dirs(self) -> list[tuple[int, Path]]:
         out = []
-        for d in sorted(self.workdir.glob("round=*")):
+        for d in self.workdir.glob("round=*"):
             try:
                 out.append((int(d.name.split("=")[1]), d))
             except ValueError:
                 continue
-        return out
+        # sort by the PARSED round number: lexicographic glob order breaks
+        # the ascending invariant at round 10000 ("round=10000" sorts
+        # before "round=9999" — r5 ADVICE, low)
+        return sorted(out)
 
     @staticmethod
     def _round_of(rel_path: str) -> int:
@@ -280,9 +283,31 @@ class ParquetDeltaLogStore(SnapshotStore):
         rnd = cur + 1
         rd = self.workdir / f"round={rnd:04d}"
         tmp = self.workdir / f".tmp.round={rnd:04d}"
-        for stale in (tmp, rd):
-            if stale.exists():
-                shutil.rmtree(stale)
+        # our own tmp dir is always safe to clean; an EXISTING round dir is
+        # not — a concurrent writer may have committed round `rnd` since
+        # current() was read above, in which case removing it would destroy
+        # committed snapshot data while LATEST still points at it (r5
+        # ADVICE, medium).  Re-check the lease and LATEST immediately
+        # before the destructive step and refuse instead.
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        if rd.exists():
+            if expected_token is not None and self.writer_token() != expected_token:
+                from .crawl import ConcurrentWriterError
+
+                raise ConcurrentWriterError(
+                    "writer lease changed under this compaction; refusing to "
+                    f"remove existing {rd.name}"
+                )
+            committed = self.current()
+            if committed is not None and committed >= rnd:
+                from .crawl import ConcurrentWriterError
+
+                raise ConcurrentWriterError(
+                    f"LATEST={committed} already covers round {rnd}; another "
+                    f"writer committed {rd.name} — refusing to remove it"
+                )
+            shutil.rmtree(rd)
         tmp.mkdir(parents=True)
         chain: dict[str, list[str]] = {}
         for t in ("seen", "results", "term"):

@@ -39,17 +39,23 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        # Throughput collector: at high task parallelism over multi-KB string
-        # payloads, G1's concurrent cycles collapsed (32-core runs burned 10×
-        # the JVM CPU of 8-core runs in GC); ParallelGC restored linear
-        # scaling for this batch workload.
+        # Collector choice, re-measured round 6: G1 now wins decisively.
+        # The round-4 measurement (G1 concurrent cycles collapsing at
+        # 32-core parallelism over multi-KB strings) predates the round-5
+        # crawl rework — html no longer crosses exchanges and row work
+        # moved into Arrow UDFs — and the r6 full-bench A/B on the same
+        # box reads: ParallelGC 198.8/196.7 s vs G1 156.8/143.7 s catalog+
+        # crawl total, with crawl_e2e itself at 14.2 s under G1 (best
+        # recorded).  GC pause totals were 8.8 s (Parallel) vs 1.8 s (G1);
+        # the rest of the gap is mutator throughput during the interpreted/
+        # Arrow map stages.  Override with SPARK_GC_OPTS to re-measure.
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get("SPARK_GC_OPTS", "-XX:+UseParallelGC"),
+            os.environ.get("SPARK_GC_OPTS", "-XX:+UseG1GC"),
         )
         .config(
             "spark.executor.extraJavaOptions",
-            os.environ.get("SPARK_GC_OPTS", "-XX:+UseParallelGC"),
+            os.environ.get("SPARK_GC_OPTS", "-XX:+UseG1GC"),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

@@ -151,6 +151,37 @@ class StoreContractSuite:
         snaps_after = store.snapshots()
         assert store.current() == snaps_after[-1]
 
+    def test_rewrite_refuses_to_destroy_concurrently_committed_round(
+        self, store
+    ):
+        """r5 ADVICE (medium): if a concurrent writer already committed
+        round cur+1, a compaction racing it must refuse BEFORE removing the
+        committed round dir — the data must survive the failed attempt."""
+        mine = store.take_over()
+        # a rival handle commits round cur+1 for real...
+        rival = type(store)(store.spark, store.workdir)
+        committed = rival.rewrite_data_files()
+        rd = store.workdir / f"round={committed:04d}"
+        assert rd.exists() and (rd / "manifest.json").exists()
+        # ...and our compaction raced it: its FIRST current() read happened
+        # before the rival's commit (stale), everything after sees the
+        # committed state
+        real_current = store.current
+        calls = {"n": 0}
+
+        def stale_then_real():
+            calls["n"] += 1
+            return real_current() - 1 if calls["n"] == 1 else real_current()
+
+        store.current = stale_then_real
+        with pytest.raises(ConcurrentWriterError):
+            store.rewrite_data_files(expected_token=mine)
+        store.current = real_current
+        # the rival's committed snapshot data is intact and still readable
+        assert rd.exists() and (rd / "manifest.json").exists()
+        assert store.current() == committed
+        assert committed in store.snapshots()
+
 
 @pytest.fixture(scope="module")
 def golden_workdir(spark, tmp_path_factory):
