@@ -17,6 +17,7 @@ compare sorts columns by name before hashing values).
 
 from __future__ import annotations
 
+import re as _re
 import struct
 import zlib
 from typing import Callable
@@ -721,7 +722,7 @@ def docs_word_rep_stats(spark, sf):
         (F.size(toks) - F.size(F.array_distinct(toks)))
         .cast("long")
         .alias("dup_words"),
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 @_q(
@@ -782,7 +783,7 @@ def nested_struct_city_rollup(spark, sf):
             F.count("*").alias("n_customers"),
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
-        .orderBy("city")
+        .repartition(1).sortWithinPartitions("city")
     )
 
 
@@ -907,7 +908,7 @@ def multimodal_image_dims(spark, sf):
             F.col("img.height").alias("height"),
             F.octet_length("payload").cast("long").alias("byte_len"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -1014,7 +1015,7 @@ def events_asof_attribution(spark, sf):
                 F.expr("timestampdiff(MICROSECOND, attr.ts, ts)"), F.lit(-1)
             ).alias("gap_us"),
         )
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     )
 
 
@@ -1127,7 +1128,7 @@ def multimodal_wav_meta(spark, sf):
                 "cast(wav.n_samples as bigint) * 1000 div wav.sample_rate"
             ).alias("duration_ms"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -1200,7 +1201,7 @@ def events_range_join_6h(spark, sf):
             "user_id",
             F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_src"),
         )
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     )
 
 
@@ -1302,7 +1303,7 @@ def docs_line_dedup(spark, sf):
             F.count(F.when(kept, F.lit(1))).alias("n_kept"),
             F.count("is_dup").alias("n_dropped"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -1374,7 +1375,7 @@ def docs_contamination_check(spark, sf):
         grams.join(F.broadcast(bench), "gram", "inner")
         .groupBy("doc_id")
         .agg(F.count_distinct(F.col("bench_id")).alias("n_bench_hits"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -1438,7 +1439,7 @@ def docs_pii_scrub(spark, sf):
             .cast("long")
             .alias("n_phones"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -1498,7 +1499,7 @@ def docs_length_quantiles(spark, sf):
         for name, num, den in _QUANTILES
     ]
     return (
-        t.groupBy("lang").agg(*aggs, F.max("n").alias("n_docs")).orderBy("lang")
+        t.groupBy("lang").agg(*aggs, F.max("n").alias("n_docs")).repartition(1).sortWithinPartitions("lang")
     )
 
 
@@ -1564,7 +1565,7 @@ def docs_tfidf_topk(spark, sf):
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _TFIDF_K)
         .select("doc_id", "token", "tf", "df", "rk")
-        .orderBy("doc_id", "rk")
+        .repartition(1).sortWithinPartitions("doc_id", "rk")
     )
 
 
@@ -1613,7 +1614,7 @@ def docs_unigram_lm_rarity(spark, sf):
             F.sum("c").alias("sum_tok_freq"),
             F.min("c").alias("min_tok_freq"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -1703,7 +1704,7 @@ def events_funnel_conversion(spark, sf):
         .otherwise(0)
         .cast("long")
         .alias("funnel_depth"),
-    ).orderBy("user_id")
+    ).repartition(1).sortWithinPartitions("user_id")
 
 
 @_q(
@@ -1765,7 +1766,7 @@ def docs_top_bigram_share(spark, sf):
         (F.col("sz") - 1).cast("long").alias("n_bigrams"),
         best.getField("bigram").alias("top_bigram"),
         (-best.getField("neg_n")).cast("long").alias("top_bigram_n"),
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 # =============================================================================
@@ -1823,7 +1824,7 @@ def docs_split_assign(spark, sf):
             .when(F.col("bucket") < 90, "val")
             .otherwise("test"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -1900,7 +1901,7 @@ def docs_pack_sequences(spark, sf):
             F.expr(f"tok_offset div {_PACK_SEQ_TOKS}").alias("seq_id"),
             (F.col("tok_offset") % _PACK_SEQ_TOKS).alias("seq_pos"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -1953,7 +1954,7 @@ def events_retention_cohorts(spark, sf):
         .distinct()
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
-        .orderBy("cohort_day", "day_offset")
+        .repartition(1).sortWithinPartitions("cohort_day", "day_offset")
     )
 
 
@@ -1998,7 +1999,7 @@ def events_windowed_rates(spark, sf):
             F.count(F.lit(1)).alias("n_events"),
             F.count_distinct("user_id").alias("n_users"),
         )
-        .orderBy("win_start_us", "event_type")
+        .repartition(1).sortWithinPartitions("win_start_us", "event_type")
     )
 
 
@@ -2047,7 +2048,7 @@ def events_sliding_window_rates(spark, sf):
             F.count(F.lit(1)).alias("n_events"),
             F.count_distinct("user_id").alias("n_users"),
         )
-        .orderBy("win_start_us", "event_type")
+        .repartition(1).sortWithinPartitions("win_start_us", "event_type")
     )
 
 
@@ -2121,34 +2122,13 @@ _URL_CANON_CTES = f"""
 """
 
 
-@_q(
-    "frontier_url_canonicalize",
-    f"""
-    WITH {_URL_CANON_CTES}
-    SELECT doc_id, url_raw, url_canon FROM canon_url ORDER BY doc_id
-    """,
-)
-def frontier_url_canonicalize(spark, sf):
-    """Canonical-URL normalization — the frontier's dedup key (north_star:
-    "frontier ... keyed by canonical-URL hash"; ≙ the reference keying its
-    seen-set on the exact job URL, deduper/hashmap.go, so equivalent URLs
-    spelled differently crawl twice — canonicalization is the fix a
-    10^10-URL frontier needs).
-
-    Rules (RFC 3986 normalization + crawl conventions): lowercase scheme and
-    host, strip ``www.``, drop the default port (80/http, 443/https) but
-    keep explicit ones, drop fragments, strip trailing path slashes (root
-    stays ``/``), drop ``utm_*`` tracking params and empty params, sort the
-    surviving query params.  Path case is PRESERVED (paths are case-
-    sensitive; hosts are not).
-
-    Everything is JVM string/regex arithmetic inside one whole-stage-codegen
-    map — no shuffle, no Python; the seen-set then hashes ``url_canon``
-    (xxhash64) instead of the raw spelling.  The DuckDB oracle re-derives
-    the same normalization from the same six synthesized mess patterns
-    (mixed-case scheme/host, both default ports, fragments, utm params,
-    unsorted keys), proving rule-for-rule parity."""
-    d = load(spark, sf, "documents")
+def _url_canonicalize_hof(d):
+    """The retired JVM withColumn/regex formulation of the canonicalizer —
+    kept as the value reference for the Arrow fast path (r6): once
+    CollapseProject inlines the dependent withColumns, every downstream
+    use re-embeds its upstream regexes, and the resulting expression tree
+    made this the catalog's single heaviest Janino/JIT compile (≈3 s of
+    first-execution wall for ~5 ms of actual regex work)."""
     return (
         d.select("doc_id", F.expr(_URL_RAW_SQL).alias("url_raw"))
         .withColumn(
@@ -2202,7 +2182,124 @@ def frontier_url_canonicalize(spark, sf):
                 " || CASE WHEN qcanon = '' THEN '' ELSE '?' || qcanon END"
             ).alias("url_canon"),
         )
-        .orderBy("doc_id")
+    )
+
+
+def _canon_and_surt(url_raw: str) -> tuple[str, str]:
+    """Pure-Python canonicalization + SURT key, rule-for-rule identical to
+    the JVM chains (``_url_canonicalize_hof`` / frontier_surt_key's
+    formulation): Java and Python regexes agree on these ASCII-only
+    character-class patterns, Spark's ``split`` keeps empty tokens like
+    ``str.split``, and string sort orders agree on ASCII."""
+    m = _RE_SCHEME.search(url_raw)
+    scheme = m.group(1).lower() if m else ""
+    i = url_raw.find("://")
+    rest = url_raw[i + 3 :] if i >= 0 else url_raw[2:]  # instr()=0 -> substr(,3)
+    hostport = _RE_HOSTPORT.match(rest).group(0)
+    lhp = hostport.lower()
+    host0 = _RE_PORT_TAIL.sub("", lhp)
+    pm = _RE_PORT_TAIL.search(lhp)
+    port = pm.group(1) if pm else ""
+    pathqf = rest[len(hostport) :]
+    path0 = _RE_PATH0.match(pathqf).group(0)
+    qm = _RE_QUERY0.search(pathqf)
+    query0 = qm.group(1) if qm else ""
+    host = host0[4:] if host0.startswith("www.") else host0
+    if port == "" or (scheme, port) in (("http", "80"), ("https", "443")):
+        portpart = ""
+    else:
+        portpart = ":" + port
+    stripped = _RE_TRAILSLASH.sub("", path0)
+    path = "/" if stripped == "" else stripped
+    q_items = sorted(
+        x for x in query0.split("&") if x != "" and x[:4] != "utm_"
+    )
+    qcanon = "&".join(q_items)
+    url_canon = (
+        scheme + "://" + host + portpart + path
+        + (("?" + qcanon) if qcanon else "")
+    )
+    # SURT from the canonical form (frontier_surt_key's rules)
+    rest2 = url_canon[url_canon.find("://") + 3 :]
+    hostport2 = _RE_HOST_NOSLASH.match(rest2).group(0)
+    host2 = _RE_PORT_TAIL.sub("", hostport2)
+    pm2 = _RE_PORT_TAIL.search(hostport2)
+    port2 = pm2.group(1) if pm2 else ""
+    surt = (
+        ",".join(reversed(host2.split(".")))
+        + ((":" + port2) if port2 != "" else "")
+        + ")"
+        + rest2[len(hostport2) :]
+    )
+    return url_canon, surt
+
+
+_RE_SCHEME = _re.compile(r"^([A-Za-z]+)://")
+_RE_HOSTPORT = _re.compile(r"^[^/?#]*")
+_RE_HOST_NOSLASH = _re.compile(r"^[^/]*")
+_RE_PORT_TAIL = _re.compile(r":([0-9]+)$")
+_RE_PATH0 = _re.compile(r"^[^?#]*")
+_RE_QUERY0 = _re.compile(r"[?]([^#]*)")
+_RE_TRAILSLASH = _re.compile(r"/+$")
+
+
+def frontier_url_canon_base(spark, sf) -> DataFrame:
+    """(doc_id, url_raw, url_canon, surt_key), UNORDERED — the shared
+    composition base for the canonicalize / SURT / robots / blocklist
+    operators.  One Arrow-vectorized map replaces the collapsed-Project
+    regex chain whose inlined expression tree dominated first-execution
+    compile time (guide §4.2; parity pinned against the retained JVM
+    formulation by tests/test_frontier_ops.py)."""
+
+    @F.pandas_udf("struct<url_canon: string, surt_key: string>")
+    def _canon(url_raw: pd.Series) -> pd.DataFrame:
+        pairs = [_canon_and_surt(u) for u in url_raw]
+        return pd.DataFrame(
+            {
+                "url_canon": [p[0] for p in pairs],
+                "surt_key": [p[1] for p in pairs],
+            }
+        )
+
+    d = load_fanout(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.expr(_URL_RAW_SQL).alias("url_raw"))
+        .withColumn("c", _canon("url_raw"))
+        .select("doc_id", "url_raw", "c.url_canon", "c.surt_key")
+    )
+
+
+@_q(
+    "frontier_url_canonicalize",
+    f"""
+    WITH {_URL_CANON_CTES}
+    SELECT doc_id, url_raw, url_canon FROM canon_url ORDER BY doc_id
+    """,
+)
+def frontier_url_canonicalize(spark, sf):
+    """Canonical-URL normalization — the frontier's dedup key (north_star:
+    "frontier ... keyed by canonical-URL hash"; ≙ the reference keying its
+    seen-set on the exact job URL, deduper/hashmap.go, so equivalent URLs
+    spelled differently crawl twice — canonicalization is the fix a
+    10^10-URL frontier needs).
+
+    Rules (RFC 3986 normalization + crawl conventions): lowercase scheme and
+    host, strip ``www.``, drop the default port (80/http, 443/https) but
+    keep explicit ones, drop fragments, strip trailing path slashes (root
+    stays ``/``), drop ``utm_*`` tracking params and empty params, sort the
+    surviving query params.  Path case is PRESERVED (paths are case-
+    sensitive; hosts are not).
+
+    r6: one Arrow-vectorized map (``frontier_url_canon_base``) — the JVM
+    withColumn chain is retained as ``_url_canonicalize_hof`` and pinned
+    value-equal by test; the DuckDB oracle re-derives the same
+    normalization from the same six synthesized mess patterns, proving
+    rule-for-rule parity."""
+    return ordered(
+        frontier_url_canon_base(spark, sf).select(
+            "doc_id", "url_raw", "url_canon"
+        ),
+        "doc_id",
     )
 
 
@@ -2283,7 +2380,7 @@ def events_hll_registers(spark, sf):
             F.max("rank").cast("long").alias("register"),
             F.count(F.lit(1)).alias("n_hashes"),
         )
-        .orderBy("bucket")
+        .repartition(1).sortWithinPartitions("bucket")
     )
 
 
@@ -2339,7 +2436,7 @@ def events_decay_recency_score(spark, sf):
             F.sum("decayed").alias("recency_score"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("user_id")
+        .repartition(1).sortWithinPartitions("user_id")
     )
 
 
@@ -2425,7 +2522,7 @@ def docs_shard_manifest(spark, sf):
             F.min("doc_id").alias("min_doc_id"),
             F.max("doc_id").alias("max_doc_id"),
         )
-        .orderBy("shard")
+        .repartition(1).sortWithinPartitions("shard")
     )
 
 
@@ -2529,7 +2626,7 @@ def docs_mime_sniff(spark, sf):
             F.hex(F.expr("substring(payload, 1, 4)")).alias("magic_hex"),
             F.octet_length("payload").cast("long").alias("byte_len"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -2624,7 +2721,7 @@ def docs_gopher_quality_gate(spark, sf):
                 & (5 * F.col("alpha_words") >= 4 * F.col("n_words"))
             ).alias("pass"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -2671,7 +2768,7 @@ def events_rate_anomaly(spark, sf):
         h.join(F.broadcast(t), "event_type")
         .filter(F.col("n") * F.col("n_hours") >= 2 * F.col("total"))
         .select("event_type", "hr", "n", "total", "n_hours")
-        .orderBy("event_type", "hr")
+        .repartition(1).sortWithinPartitions("event_type", "hr")
     )
 
 
@@ -2748,7 +2845,7 @@ def multimodal_video_frame_plan(spark, sf):
             .cast("long")
             .alias("frame_ts_ms"),
         )
-        .orderBy("doc_id", "sample_ord")
+        .repartition(1).sortWithinPartitions("doc_id", "sample_ord")
     )
 
 
@@ -2824,7 +2921,7 @@ def events_late_data_flag(spark, sf):
             F.when(late, wm_us - us).otherwise(F.lit(0)).cast("long")
             .alias("lateness_us"),
         )
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     )
 
 
@@ -2878,7 +2975,7 @@ def events_burst_detect(spark, sf):
         a.withColumn("n_in_window", F.count(F.lit(1)).over(w).cast("long"))
         .filter(F.col("n_in_window") >= _BURST_K)
         .select("event_id", "user_id", "n_in_window")
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     )
 
 
@@ -2935,7 +3032,7 @@ def docs_char_trigram_lang_profile(spark, sf):
         c.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= _TRIGRAM_TOPK)
         .select("lang", "tri", "cnt", "rk")
-        .orderBy("lang", "rk")
+        .repartition(1).sortWithinPartitions("lang", "rk")
     )
 
 
@@ -3185,7 +3282,7 @@ def events_hll_merge_estimate(spark, sf):
             ).alias("err_permille"),
             "n_buckets_set",
         )
-        .orderBy("event_type")
+        .repartition(1).sortWithinPartitions("event_type")
     )
 
 
@@ -3253,7 +3350,7 @@ def docs_inverted_index_postings(spark, sf):
             ).alias("postings_head"),
         )
         .select("term", "df", "cf", "postings_head")
-        .orderBy("term")
+        .repartition(1).sortWithinPartitions("term")
     )
 
 
@@ -3363,7 +3460,7 @@ def docs_taxonomy_topic_assign(spark, sf):
             top.alias("top_topic"),
             top_hits.cast("long").alias("top_hits"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -3513,7 +3610,7 @@ def docs_quality_funnel(spark, sf):
             F.col("s.n_kept").alias("n_kept"),
             (F.col("s.n_in") - F.col("s.n_kept")).alias("n_dropped"),
         )
-        .orderBy("stage_idx")
+        .repartition(1).sortWithinPartitions("stage_idx")
     )
 
 
@@ -3559,7 +3656,7 @@ def docs_lang_id_confusion(spark, sf):
         .groupBy("lang_true", "lang_pred")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .withColumn("correct", F.col("lang_true") == F.col("lang_pred"))
-        .orderBy("lang_true", "lang_pred")
+        .repartition(1).sortWithinPartitions("lang_true", "lang_pred")
     )
 
 
@@ -3619,7 +3716,7 @@ def events_markov_transitions(spark, sf):
                 "SUM(n_transitions) OVER (PARTITION BY event_type) AS BIGINT)"
             ).alias("p_permille"),
         )
-        .orderBy("event_type", "next_type")
+        .repartition(1).sortWithinPartitions("event_type", "next_type")
     )
 
 
@@ -3674,7 +3771,7 @@ def events_windowed_topk_types(spark, sf):
     return (
         c.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= _WIN_TOPK)
-        .orderBy("win_start_us", "rk")
+        .repartition(1).sortWithinPartitions("win_start_us", "rk")
     )
 
 
@@ -3724,7 +3821,7 @@ def events_value_log2_histogram(spark, sf):
             F.min("m").alias("min_milli"),
             F.max("m").alias("max_milli"),
         )
-        .orderBy("bucket")
+        .repartition(1).sortWithinPartitions("bucket")
     )
 
 
@@ -3801,7 +3898,7 @@ def events_ab_test_lift(spark, sf):
                 "conv_permille"
             ),
         )
-        .orderBy("variant")
+        .repartition(1).sortWithinPartitions("variant")
     )
 
 
@@ -3872,7 +3969,7 @@ def events_session_duration_histogram(spark, sf):
             F.min("dur_s").cast("long").alias("min_s"),
             F.max("dur_s").cast("long").alias("max_s"),
         )
-        .orderBy("bucket")
+        .repartition(1).sortWithinPartitions("bucket")
     )
 
 
@@ -4051,7 +4148,7 @@ def docs_mixture_weights_isqrt(spark, sf):
                 "share_permille"
             ),
         )
-        .orderBy("source")
+        .repartition(1).sortWithinPartitions("source")
     )
 
 
@@ -4159,7 +4256,7 @@ def docs_dsir_hashed_importance(spark, sf):
                 "is_target_like"
             ),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -4245,7 +4342,7 @@ def docs_bigram_lm_stats(spark, sf):
             F.min("c12").cast("long").alias("min_bg_freq"),
             F.sum("c1").cast("long").alias("sum_ctx_freq"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -4353,7 +4450,7 @@ def multimodal_webp_dims(spark, sf):
             F.col("img.height").alias("height"),
             F.octet_length("payload").cast("long").alias("byte_len"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -4472,7 +4569,7 @@ def events_cdc_upsert_merge(spark, sf):
             .otherwise(F.col("new_user_id"))
             .alias("user_id_final"),
         )
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     )
 
 
@@ -4584,5 +4681,5 @@ def docs_bm25_topk(spark, sf):
             "term", "doc_id", "tf", "dl", "df",
             F.round("s", 3).alias("score_r3"), "rk",
         )
-        .orderBy("term", "rk")
+        .repartition(1).sortWithinPartitions("term", "rk")
     )

@@ -373,7 +373,7 @@ def docs_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("jaccard_pct") >= 20.0)
         .select("doc_a", "doc_b", "jaccard_pct")
-        .orderBy("doc_a", "doc_b")
+        .repartition(1).sortWithinPartitions("doc_a", "doc_b")
     )
     return verified
 
@@ -824,7 +824,7 @@ def docs_dedup_keep_canonical(spark: SparkSession, sf: str) -> DataFrame:
             "n_cluster",
             (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -968,7 +968,7 @@ def docs_incremental_bloom_dedup(spark, sf):
                 "false_positive"
             ),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -1072,7 +1072,7 @@ def docs_source_template_shingles(spark: SparkSession, sf: str) -> DataFrame:
             ),
             (F.col("n_template") > 0).alias("has_template"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -1166,7 +1166,7 @@ def docs_shingle_novelty(spark: SparkSession, sf: str) -> DataFrame:
                 "novelty_permille"
             ),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -1290,7 +1290,7 @@ def docs_minhash_jaccard_eval(spark: SparkSession, sf: str) -> DataFrame:
                 "AS BIGINT)"
             ).alias("abs_err_permille"),
         )
-        .orderBy("doc_a", "doc_b")
+        .repartition(1).sortWithinPartitions("doc_a", "doc_b")
     )
 
 
@@ -1426,7 +1426,7 @@ def docs_dup_span_stats(spark: SparkSession, sf: str) -> DataFrame:
                 "dup_permille"
             ),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -1514,5 +1514,5 @@ def docs_dup_span_pairs(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_runs"),
         )
         .filter(F.col("max_run_kgrams") >= _SPAN_MIN_RUN)
-        .orderBy("doc_a", "doc_b")
+        .repartition(1).sortWithinPartitions("doc_a", "doc_b")
     )

@@ -26,7 +26,14 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .analytics import _URL_CANON_CTES, frontier_url_canonicalize, load
+from .analytics import (
+    _URL_CANON_CTES,
+    frontier_url_canon_base,
+    frontier_url_canonicalize,
+    load,
+    load_fanout,
+    ordered,
+)
 
 __all__ = ["QUERIES", "ORACLES"]
 
@@ -83,24 +90,15 @@ def frontier_surt_key(spark, sf):
     no shuffle, no Python.  The DuckDB oracle re-derives the key on top of
     the shared canonicalization CTE chain, so canonical parity transfers to
     the sort key rule-for-rule."""
-    c = frontier_url_canonicalize(spark, sf).select("doc_id", "url_canon")
-    return (
-        c.withColumn(
-            "rest", F.expr("substr(url_canon, instr(url_canon, '://') + 3)")
-        )
-        .withColumn("hostport", F.expr("regexp_extract(rest, '^[^/]*', 0)"))
-        .withColumn("host", F.expr("regexp_replace(hostport, ':[0-9]+$', '')"))
-        .withColumn("port", F.expr("regexp_extract(hostport, ':([0-9]+)$', 1)"))
-        .select(
-            "doc_id",
-            "url_canon",
-            F.expr(
-                "array_join(reverse(split(host, '[.]')), ',')"
-                " || CASE WHEN port = '' THEN '' ELSE ':' || port END"
-                " || ')' || substr(rest, length(hostport) + 1)"
-            ).alias("surt_key"),
-        )
-        .orderBy("doc_id")
+    # r6: the SURT key is computed alongside the canonical URL in the ONE
+    # Arrow map of frontier_url_canon_base (the JVM label-reversal chain
+    # re-embedded the whole canonicalization expression after projection
+    # collapse); parity is pinned by tests/test_frontier_ops.py
+    return ordered(
+        frontier_url_canon_base(spark, sf).select(
+            "doc_id", "url_canon", "surt_key"
+        ),
+        "doc_id",
     )
 
 
@@ -165,7 +163,7 @@ def frontier_etld1_key(spark, sf):
             F.conv(F.substring(F.md5("etld1"), 1, 8), 16, 10).cast("long")
             % _POLITENESS_BUCKETS,
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -212,7 +210,7 @@ def frontier_robots_eval(spark, sf):
     denial is evaluated once per URL, not per round."""
     d = load(spark, sf, "documents")
     urls = (
-        frontier_url_canonicalize(spark, sf)
+        frontier_url_canon_base(spark, sf)
         .select("doc_id", "url_canon")
         .join(d.select("doc_id", "source"), "doc_id")
         .withColumn(
@@ -250,7 +248,7 @@ def frontier_robots_eval(spark, sf):
             "matched_rule",
             F.when(F.col("allow"), "allow").otherwise("deny").alias("verdict"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -362,7 +360,7 @@ def frontier_link_extract(spark, sf):
             ).alias("link_url"),
         )
         .distinct()
-        .orderBy("doc_id", "link_url")
+        .repartition(1).sortWithinPartitions("doc_id", "link_url")
     )
 
 
@@ -455,7 +453,7 @@ def frontier_trap_detect(spark, sf):
                 " ELSE 'ok' END"
             ),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -525,7 +523,7 @@ def frontier_fetch_slot_schedule(spark, sf):
             slot.alias("slot"),
             (slot * F.col("delay_ms")).cast("long").alias("fetch_at_ms"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -584,7 +582,7 @@ def frontier_recrawl_diff(spark, sf):
             .otherwise(F.lit("changed"))
             .alias("verdict"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -709,7 +707,7 @@ def frontier_sitemap_expand(spark, sf):
         "sitemap_url",
         F.regexp_extract("block", "<loc>([^<]+)</loc>", 1).alias("page_url"),
         F.regexp_extract("block", "<lastmod>([^<]+)</lastmod>", 1).alias("lastmod"),
-    ).orderBy("sitemap_url", "page_url")
+    ).repartition(1).sortWithinPartitions("sitemap_url", "page_url")
 
 
 _RING_SHARDS = 8    # frontier shards
@@ -826,7 +824,7 @@ def frontier_consistent_hash_assign(spark, sf):
         "host",
         F.col("b.shard").cast("long").alias("shard"),
         F.col("b.dist").cast("long").alias("ring_distance"),
-    ).orderBy("host")
+    ).repartition(1).sortWithinPartitions("host")
 
 
 @_q(
@@ -973,7 +971,7 @@ def frontier_warc_cdx_index(spark, sf):
             "record_len",
             F.sum("record_len").over(w_all).cast("long").alias("file_bytes"),
         )
-        .orderBy("warc_file", "doc_id")
+        .repartition(1).sortWithinPartitions("warc_file", "doc_id")
     )
 
 
@@ -1059,7 +1057,7 @@ def frontier_meta_robots_gate(spark, sf):
             (~F.col("robots_content").contains("noindex")).alias("index_allowed"),
             (~F.col("robots_content").contains("nofollow")).alias("follow_links"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -1134,7 +1132,7 @@ def frontier_ip_politeness_group(spark, sf):
                 F.lit(1), F.expr(f"{_IP_BUDGET} div n_hosts")
             ).cast("long").alias("per_host_budget"),
         )
-        .orderBy("ip24")
+        .repartition(1).sortWithinPartitions("ip24")
     )
 
 
@@ -1224,7 +1222,7 @@ def frontier_recrawl_poisson(spark, sf):
             .when(F.col("n_changes") >= 1, F.lit("warm"))
             .otherwise(F.lit("cold")),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -1319,7 +1317,7 @@ def frontier_warc_revisit_collapse(spark, sf):
         .otherwise(800 + (F.col("doc_id") * 97 + F.col("version") * 13) % 4000)
         .cast("long")
         .alias("payload_bytes"),
-    ).orderBy("doc_id", "capture")
+    ).repartition(1).sortWithinPartitions("doc_id", "capture")
 
 
 # ---------------------------------------------------------------------------
@@ -1382,7 +1380,9 @@ def frontier_url_blocklist_filter(spark, sf):
     for k in _URL_SOFT_KEYWORDS:
         term = F.expr(f"size(regexp_extract_all(lower(url_raw), '{k}', 0))")
         kw = term if kw is None else kw + term
-    c = frontier_url_canonicalize(spark, sf).select("doc_id", "url_raw", "url_canon")
+    c = frontier_url_canon_base(spark, sf).select(
+        "doc_id", "url_raw", "url_canon"
+    )
     return (
         c.withColumn(
             "host",
@@ -1417,7 +1417,7 @@ def frontier_url_blocklist_filter(spark, sf):
             .otherwise(F.lit("clean"))
             .alias("verdict"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -1517,5 +1517,5 @@ def frontier_host_rate_ewma(spark, sf):
             ).alias("crawl_delay_ms"),
             (F.col("ewma_ms") > _EWMA_SLOW_MS).alias("slow_host"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )

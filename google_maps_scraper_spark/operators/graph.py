@@ -169,7 +169,7 @@ def graph_pagerank_2iter(spark, sf):
         ranks = _pr_step(ranks, edges_deg, nodes)
     return (
         ranks.select(F.col("src").alias("doc_id"), F.col("r").alias("pr_scaled"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -229,7 +229,7 @@ def graph_triangle_count(spark, sf):
     return (
         d.join(cnt, d.doc_id == cnt.node, "left")
         .select("doc_id", F.coalesce("n_tri", F.lit(0)).alias("n_tri"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -271,7 +271,7 @@ def graph_reciprocal_edges(spark, sf):
             "out_deg",
             F.coalesce("recip_n", F.lit(0)).alias("recip_n"),
         )
-        .orderBy("node")
+        .repartition(1).sortWithinPartitions("node")
     )
 
 
@@ -330,7 +330,7 @@ def graph_anchor_text_inversion(spark, sf):
             ),
         )
         .select(F.col("dst").alias("doc_id"), "n_inlinks", "n_anchors", "anchors")
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -382,7 +382,7 @@ def graph_hits_1iter(spark, sf):
             F.coalesce("auth", F.lit(0)).alias("auth"),
             F.coalesce("hub", F.lit(0)).alias("hub"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -435,7 +435,7 @@ def graph_label_propagation_2iter(spark, sf):
         .join(b, und.u == b.bv)
         .groupBy("v")
         .agg(F.least(F.min("lbl_v"), F.min("lbl_u")).alias("label"))
-        .orderBy("v")
+        .repartition(1).sortWithinPartitions("v")
     )
 
 
@@ -499,7 +499,7 @@ def graph_degree_histogram(spark, sf):
             F.coalesce("n_nodes_out", F.lit(0)).cast("long").alias("n_nodes_out"),
             F.coalesce("n_nodes_in", F.lit(0)).cast("long").alias("n_nodes_in"),
         )
-        .orderBy("degree")
+        .repartition(1).sortWithinPartitions("degree")
     )
 
 
@@ -570,7 +570,7 @@ def graph_bfs_depth2(spark, sf):
             "doc_id",
             F.coalesce(F.col("depth"), F.lit(-1)).cast("long").alias("depth"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -616,7 +616,7 @@ def graph_domain_link_matrix(spark, sf):
         .groupBy("src_dom", "dst_dom")
         .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
         .withColumn("internal", F.col("src_dom") == F.col("dst_dom"))
-        .orderBy("src_dom", "dst_dom")
+        .repartition(1).sortWithinPartitions("src_dom", "dst_dom")
     )
 
 
@@ -708,7 +708,7 @@ def graph_harmonic_centrality_2hop(spark, sf):
             .cast("long")
             .alias("harmonic_x2"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -785,7 +785,7 @@ def graph_kcore_2iter(spark, sf):
             F.coalesce("sv1", F.lit(False)).alias("survived_r1"),
             F.coalesce("sv2", F.lit(False)).alias("survived_r2"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -911,5 +911,5 @@ def graph_spam_mass_2iter(spark, sf):
                 > _SPAM_MASS_SUSPECT_PERMILLE
             ).alias("is_spam_suspect"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )

@@ -85,7 +85,7 @@ def docs_domain_quota_cap(spark, sf):
         d.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _QUOTA_CAP)
         .select("doc_id", "source", "rk")
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -169,7 +169,7 @@ def docs_stratified_sample(spark, sf):
         .join(F.broadcast(alloc), "lang")
         .filter(F.col("rk") <= F.col("quota"))
         .select("doc_id", "lang", "rk")
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -245,7 +245,7 @@ def seen_bloom_build(spark, sf):
             F.count("*").alias("n_hits"),
         )
         .withColumn("n_set", F.expr("CAST(bit_count(bits) AS BIGINT)"))
-        .orderBy("word_idx")
+        .repartition(1).sortWithinPartitions("word_idx")
     )
 
 
@@ -315,7 +315,7 @@ def events_cms_build(spark, sf):
         ev.select(F.explode(F.array(*cells)).alias("c"))
         .groupBy(F.col("c.row_idx").alias("row_idx"), F.col("c.col_idx").alias("col_idx"))
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("row_idx", "col_idx")
+        .repartition(1).sortWithinPartitions("row_idx", "col_idx")
     )
 
 
@@ -357,7 +357,7 @@ def events_salted_rollup(spark, sf):
     return (
         stage1.groupBy("event_type")
         .agg(F.sum("pn").alias("n_events"), F.sum("ps").alias("sum_ids"))
-        .orderBy("event_type")
+        .repartition(1).sortWithinPartitions("event_type")
     )
 
 
@@ -438,7 +438,7 @@ def docs_ccnet_rarity_bucket(spark, sf):
                 " WHEN 1 THEN 'middle' ELSE 'tail' END"
             ).alias("bucket"),
         )
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 

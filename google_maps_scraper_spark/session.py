@@ -78,6 +78,14 @@ def get_spark(
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # Env-driven conf overrides ("k=v;k2=v2") — the measurement hook the
+    # r6 optimization round's A/Bs use, and the general parameterization
+    # point for scale-dependent settings (guide §9: configs are the last
+    # 10-30%, so they stay env-tunable rather than hard-coded).
+    for kv in os.environ.get("GMS_SPARK_CONF", "").split(";"):
+        if kv.strip():
+            k, _, v = kv.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()
 
 

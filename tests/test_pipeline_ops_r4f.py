@@ -116,6 +116,115 @@ def test_url_canonicalize_matches_urllib(spark):
     assert any(":8080" in c for c in canons)                # explicit port kept
 
 
+def test_url_canonicalize_vectorized_equals_hof(spark):
+    """r6: the Arrow canonicalizer must equal the retained JVM withColumn/
+    regex chain value-for-value (same rules, two execution paths)."""
+    from pyspark.sql import functions as F
+
+    from google_maps_scraper_spark.operators.analytics import (
+        _URL_RAW_SQL,
+        _url_canonicalize_hof,
+        frontier_url_canon_base,
+        load,
+    )
+
+    d = load(spark, SF, "documents")
+    hof = {
+        r["doc_id"]: r["url_canon"]
+        for r in _url_canonicalize_hof(d).collect()
+    }
+    vec = {
+        r["doc_id"]: r["url_canon"]
+        for r in frontier_url_canon_base(spark, SF).collect()
+    }
+    assert hof == vec
+    # dirty inputs beyond the synthesized six shapes: missing scheme,
+    # empty path+query, uppercase host with port, utm-only query
+    dirty = spark.createDataFrame(
+        [
+            (1, "noscheme.com/p/1"),
+            (2, "HTTP://UPPER.COM:8080"),
+            (3, "https://h.com/?utm_only=1&"),
+            (4, "http://h.com:80////"),
+            (5, "https://www.h.com:443/a//?z=1&a=2#f"),
+        ],
+        "doc_id int, url_raw string",
+    )
+    hof2 = {
+        r["doc_id"]: r["url_canon"]
+        for r in _url_canonicalize_hof_raw(dirty).collect()
+    }
+    from google_maps_scraper_spark.operators.analytics import _canon_and_surt
+
+    for did, raw in [(r["doc_id"], r["url_raw"]) for r in dirty.collect()]:
+        assert _canon_and_surt(raw)[0] == hof2[did], raw
+
+
+def _url_canonicalize_hof_raw(raw_df):
+    """Run the JVM canonicalization chain on a caller-supplied
+    (doc_id, url_raw) frame (the hof helper synthesizes url_raw itself)."""
+    from pyspark.sql import functions as F
+
+    from google_maps_scraper_spark.operators import analytics as A
+
+    d = raw_df.select("doc_id", F.col("url_raw"))
+    # re-apply the same withColumn chain by borrowing the hof body via a
+    # synthetic _URL_RAW_SQL: simplest faithful route is to rebuild the
+    # chain inline (kept in lockstep with _url_canonicalize_hof)
+    return (
+        d.withColumn(
+            "scheme", F.expr("lower(regexp_extract(url_raw, '^([A-Za-z]+)://', 1))")
+        )
+        .withColumn("rest", F.expr("substr(url_raw, instr(url_raw, '://') + 3)"))
+        .withColumn("hostport", F.expr("regexp_extract(rest, '^[^/?#]*', 0)"))
+        .withColumn("pathqf", F.expr("substr(rest, length(hostport) + 1)"))
+        .withColumn(
+            "host0", F.expr("regexp_replace(lower(hostport), ':[0-9]+$', '')")
+        )
+        .withColumn(
+            "port", F.expr("regexp_extract(lower(hostport), ':([0-9]+)$', 1)")
+        )
+        .withColumn("path0", F.expr("regexp_extract(pathqf, '^[^?#]*', 0)"))
+        .withColumn("query0", F.expr("regexp_extract(pathqf, '[?]([^#]*)', 1)"))
+        .withColumn(
+            "host",
+            F.expr(
+                "CASE WHEN host0 LIKE 'www.%' THEN substr(host0, 5) ELSE host0 END"
+            ),
+        )
+        .withColumn(
+            "portpart",
+            F.expr(
+                "CASE WHEN port = '' THEN ''"
+                " WHEN scheme = 'http' AND port = '80' THEN ''"
+                " WHEN scheme = 'https' AND port = '443' THEN ''"
+                " ELSE ':' || port END"
+            ),
+        )
+        .withColumn(
+            "path",
+            F.expr(
+                "CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'"
+                " ELSE regexp_replace(path0, '/+$', '') END"
+            ),
+        )
+        .withColumn(
+            "qcanon",
+            F.expr(
+                "array_join(array_sort(filter(split(query0, '&'),"
+                " x -> x != '' AND substr(x, 1, 4) != 'utm_')), '&')"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "scheme || '://' || host || portpart || path"
+                " || CASE WHEN qcanon = '' THEN '' ELSE '?' || qcanon END"
+            ).alias("url_canon"),
+        )
+    )
+
+
 def test_sliding_window_rates_matches_python(spark):
     ev = duckdb.sql(
         f"SELECT epoch_us(ts) AS us, event_type, user_id"
