@@ -49,7 +49,29 @@ def load_fanout(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spreads the work."""
     df = load(spark, sf_dir, name)
     p = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
+    # single-split detection from file bytes (an os.stat, not a .rdd
+    # conversion — the latter costs a full physical planning pass per
+    # call): a directory of parquet parts under maxPartitionBytes total is
+    # at most a handful of splits, and the driver's testdata is one file
+    import os as _os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if _os.path.isdir(path):
+            nbytes = sum(
+                _os.path.getsize(_os.path.join(path, f))
+                for f in _os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            nbytes = _os.path.getsize(path)
+    except OSError:
+        return df.repartition(p)
+    max_split = int(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        .removesuffix("b")
+    )
+    if nbytes < max_split:
         df = df.repartition(p)
     return df
 
@@ -1217,9 +1239,13 @@ def doc_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
     inside one projection) — no token-level explode, no shuffle; the only
     corpus-wide shuffle in the consumers below is the groupBy on the line
     key itself."""
-    return df.select(
+    # posexplode_outer + isnotnull prefilter (r6): the inner generator
+    # triggers InferFiltersFromGenerate, whose size()>0 clone re-evaluates
+    # the whole line-building HOF per row; the line array is never empty
+    # for non-null text (sequence over >= 1 element), so semantics match
+    return df.filter(F.col(text_col).isNotNull()).select(
         "doc_id",
-        F.posexplode(
+        F.posexplode_outer(
             F.expr(
                 f"transform(sequence(0, cast(ceil(size(split({text_col}, ' ')) /"
                 f" {_LINE_TOKS}.0) as int) - 1),"
@@ -1362,7 +1388,10 @@ def docs_contamination_check(spark, sf):
         d.filter(F.size(toks) >= _BENCH_GRAM)
         .select(
             "doc_id",
-            F.explode(
+            # explode_outer: the size filter above guarantees a non-null,
+            # non-empty gram array, and the outer variant skips the
+            # generator-cloning InferFiltersFromGenerate rule (r6)
+            F.explode_outer(
                 F.expr(
                     f"transform(sequence(0, size(split(text, ' ')) - {_BENCH_GRAM}),"
                     f" i -> array_join(slice(split(text, ' '), i + 1, {_BENCH_GRAM}), ' '))"
@@ -1736,36 +1765,59 @@ def docs_top_bigram_share(spark, sf):
     two exact integers).  Ties break to the lexicographically smallest
     bigram so both engines pick the same witness.
 
-    Scale shape: shuffle-free up to the gate's final orderBy — bigram
-    construction, per-doc counting, and the arg-max all run as nested array
-    expressions inside the scan's project
-    (distinct-bigrams × bigrams compare is O(L²) in the DOCUMENT
-    length, independent of corpus size; at book length the explode+groupBy
-    formulation takes over).  The arg-max rides `array_min` over
-    (-count, bigram) structs — Spark's struct ordering is lexicographic by
-    field position, giving max-count-then-min-bigram without a window."""
-    d = load(spark, sf, "documents")
-    toks = F.split(F.trim("text"), r"\s+")
-    d = d.select("doc_id", toks.alias("ts")).filter(F.size("ts") >= 2)
-    bgs = F.expr(
-        "transform(sequence(1, size(ts) - 1),"
-        " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
-    )
-    d = d.select("doc_id", F.size("ts").alias("sz"), bgs.alias("bgs"))
-    best = F.array_min(
-        F.expr(
-            """
-            transform(array_distinct(bgs),
-                      d -> struct(-size(filter(bgs, x -> x = d)) AS neg_n,
-                                  d AS bigram))
-            """
-        )
-    )
-    return d.select(
-        "doc_id",
-        (F.col("sz") - 1).cast("long").alias("n_bigrams"),
-        best.getField("bigram").alias("top_bigram"),
-        (-best.getField("neg_n")).cast("long").alias("top_bigram_n"),
+    Scale shape (r6): one Arrow-vectorized map inside the scan stage — the
+    retired nested-array expression compared distinct-bigrams × bigrams in
+    interpreted HOF lambdas (O(L²) per doc, outside codegen); numpy's
+    sorted-unique count is O(L log L) per doc and the arg-max tie-break
+    (max count, then lexicographically smallest bigram) falls out of
+    ``np.unique``'s ascending order.  Tokenization mirrors Java's
+    ``split(..., -1)`` exactly: ASCII-space trim, ASCII \\s, leading AND
+    trailing empty tokens kept (the SimHash parity discipline);
+    all-ASCII text makes Python and JVM string orders agree."""
+    import pyarrow as pa
+
+    d = load_fanout(spark, sf, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import re
+
+        import numpy as np
+
+        ws = re.compile(r"\s+", re.ASCII)
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_id, out_n, out_bg, out_bn = [], [], [], []
+            for did, txt in zip(ids, texts):
+                if txt is None:
+                    continue
+                # re.split == Spark's split(, -1): leading AND trailing
+                # empty tokens kept; trim strips ASCII spaces only
+                toks = ws.split(txt.strip(" "))
+                if len(toks) < 2:
+                    continue
+                bgs = np.array(
+                    [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+                )
+                uniq, cnt = np.unique(bgs, return_counts=True)
+                k = int(np.argmax(cnt))  # first max = smallest bigram on ties
+                out_id.append(did)
+                out_n.append(len(toks) - 1)
+                out_bg.append(str(uniq[k]))
+                out_bn.append(int(cnt[k]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, pa.int64()),
+                    pa.array(out_n, pa.int64()),
+                    pa.array(out_bg, pa.string()),
+                    pa.array(out_bn, pa.int64()),
+                ],
+                ["doc_id", "n_bigrams", "top_bigram", "top_bigram_n"],
+            )
+
+    return d.mapInArrow(
+        gen,
+        "doc_id long, n_bigrams long, top_bigram string, top_bigram_n long",
     ).repartition(1).sortWithinPartitions("doc_id")
 
 

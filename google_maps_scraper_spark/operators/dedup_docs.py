@@ -755,23 +755,31 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)  # reused every iteration — evaluate once
 
-    labels = d.select("doc_id", F.col("doc_id").alias("lbl"))
-    prev_sum = None
-    for _ in range(_CC_MAX_ITERS):
+    def step(lbls: DataFrame) -> DataFrame:
         nbr = (
-            sym.join(labels, sym.a == labels.doc_id)
+            sym.join(lbls, sym.a == lbls.doc_id)
             .groupBy(F.col("b").alias("doc_id"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        return lbls.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+            ).alias("lbl"),
+        )
+
+    labels = d.select("doc_id", F.col("doc_id").alias("lbl"))
+    prev_sum = None
+    # TWO propagation steps per materialization (r6): the checkpoint +
+    # observation job is the per-iteration fixed cost, and extra min-label
+    # steps are idempotent at the fixpoint, so batching halves the job
+    # count without changing the result.  The label sum is strictly
+    # decreasing until the fixpoint, so sum-unchanged across a DOUBLE step
+    # still certifies convergence exactly.
+    for _ in range(_CC_MAX_ITERS):
         obs = Observation()
         labels = (
-            labels.join(nbr, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
-                ).alias("lbl"),
-            )
+            step(step(labels))
             .observe(obs, F.sum("lbl").alias("s"))
             .localCheckpoint(eager=True)
         )
@@ -1326,11 +1334,15 @@ def _pos_kgrams(d: DataFrame, k: int = _SPAN_K) -> DataFrame:
     """(doc_id, pos, g): the k-gram starting at 1-based token position pos.
     All JVM-side (split -> transform(sequence) -> explode); one row per
     position, so downstream joins see positions, not documents."""
+    # explode_outer + isnotnull prefilter: dodge the generator-cloning
+    # InferFiltersFromGenerate rule (the k-gram array is never empty for
+    # non-null text — sequence over >= 1 element); identical semantics
     return (
-        d.withColumn("_toks", F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        d.filter(F.col("text").isNotNull())
+        .withColumn("_toks", F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
         .select(
             "doc_id",
-            F.explode(
+            F.explode_outer(
                 F.expr(
                     f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 1)),"
                     f" i -> struct(i AS pos, concat_ws(' ', slice(_toks, i, {k})) AS g))"
