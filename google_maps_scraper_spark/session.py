@@ -117,9 +117,9 @@ def _warm_session_infra(spark: SparkSession) -> None:
             spark.range(0, 256).selectExpr(
                 "id", "cast(id as string) AS t"
             ).write.mode("overwrite").parquet(f"{td}/t")
+            base = spark.read.parquet(f"{td}/t")
             (
-                spark.read.parquet(f"{td}/t")
-                .repartition(8)
+                base.repartition(8)
                 .withColumn("w", _w("t"))
                 .select("id", "w.a", "w.b")
                 .repartition(1)
@@ -128,6 +128,35 @@ def _warm_session_infra(spark: SparkSession) -> None:
                 .mode("overwrite")
                 .save()
             )
+            # join (broadcast + shuffle), aggregate, window, generator and
+            # scalar-subquery machinery — each is 0.5-1.5 s of first-use
+            # classload/codegen otherwise charged to an early real query
+            base.createOrReplaceTempView("gms_warm_t")
+            dim = spark.range(0, 32).selectExpr("id AS k", "id % 4 AS grp")
+            joined = (
+                base.join(F.broadcast(dim), base.id == dim.k)
+                .join(dim.withColumnRenamed("k", "k2"), "grp")
+                .groupBy("grp")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            from pyspark.sql import Window
+
+            win = (
+                base.select(
+                    "id",
+                    F.explode_outer(F.expr("sequence(0, 1)")).alias("j"),
+                )
+                .withColumn(
+                    "rk",
+                    F.row_number().over(
+                        Window.partitionBy("j").orderBy("id")
+                    ),
+                )
+                .where("rk <= 2")
+            )
+            joined.write.format("noop").mode("overwrite").save()
+            win.write.format("noop").mode("overwrite").save()
+            spark.catalog.dropTempView("gms_warm_t")
     except Exception:
         pass  # warm-up is best-effort; a failure only costs speed
 
