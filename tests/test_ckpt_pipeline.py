@@ -93,7 +93,10 @@ def test_pipeline_overlap_actually_happens(spark, pages_and_seeds, tmp_path_fact
     seen_depths = []
 
     def slow_write(cap, bloom_bytes):
-        time.sleep(2.5)
+        # must dwarf a round's wall so the next round ALWAYS finishes while
+        # this commit is still in flight (2.5 s flaked once round walls
+        # crossed it on a loaded box — r6)
+        time.sleep(8.0)
         return inner(cap, bloom_bytes)
 
     eng._write_snapshot_inner = slow_write
