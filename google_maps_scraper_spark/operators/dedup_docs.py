@@ -336,9 +336,12 @@ def docs_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     d = minhash_sig_vectorized(shingle_tokens(load_fanout(spark, sf, "documents")))
     d = d.select("doc_id", "shingles", "sig").localCheckpoint(eager=True)
 
+    # posexplode_outer: sig is checkpoint-materialized non-null with a
+    # fixed BANDS-length key array, so the outer variant is identical and
+    # skips the generator-cloning InferFiltersFromGenerate rule (r6)
     bands = d.select(
         "doc_id",
-        F.posexplode(
+        F.posexplode_outer(
             F.expr(
                 f"transform(sequence(0, {BANDS - 1}),"
                 f" b -> concat_ws('|', transform(slice(sig, b * {ROWS_PER_BAND} + 1,"

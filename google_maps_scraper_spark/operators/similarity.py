@@ -467,10 +467,12 @@ def lsh_neardup_pairs(emb: DataFrame) -> DataFrame:
     sig = lsh_signature(emb, dim=_emb_dim(emb)).select("vec_id", "lsh_bucket")
     sig = sig.localCheckpoint(eager=True)  # signatures computed once
 
+    # posexplode_outer: same generator-clone dodge as the MinHash bands
+    # (lsh_bucket is checkpoint-materialized non-null; 4 fixed bands)
     bands = sig.select(
         "vec_id",
         "lsh_bucket",
-        F.posexplode(
+        F.posexplode_outer(
             F.expr(
                 "transform(sequence(0, 3),"
                 " b -> (shiftright(lsh_bucket, b * 4) & 15))"
